@@ -1,0 +1,21 @@
+from .tree import (
+    FREE_FLYER,
+    PRISMATIC,
+    REVOLUTE,
+    SPHERICAL,
+    KinematicTree,
+    make_tree,
+)
+from .urdf import load_urdf
+from . import robots
+
+__all__ = [
+    "KinematicTree",
+    "make_tree",
+    "load_urdf",
+    "robots",
+    "REVOLUTE",
+    "PRISMATIC",
+    "FREE_FLYER",
+    "SPHERICAL",
+]

@@ -1,0 +1,322 @@
+"""KinematicTree: the TPU-native replacement for `pinocchio::ModelTpl`.
+
+The reference keys every workspace array by joint index into a
+heterogeneous `pinocchio::Model` (loik-loid-data-optimized.hxx:40-104).  Here
+the tree is a frozen JAX pytree whose *topology is static metadata* (hashable
+aux-data: parents, joint types, dof indexing) while *geometry is array leaves*
+(joint placements, axes).  Consequences:
+
+  - jit specializes per topology: tree sweeps unroll at trace time with
+    static indices — no dynamic gather/scatter inside the hot loop (the
+    analog of the reference's allocate-once / malloc-free-hot-loop contract,
+    macros.hpp:7-15).
+  - placements/axes can change without recompilation (tool changes, model
+    perturbations) since they are ordinary traced leaves.
+
+Joint model: each *moving* joint i (0-based; the universe is NOT stored,
+unlike pinocchio where joint 0 is the universe) has
+  parent[i] in {-1} U [0, i)   (-1 = attached to the world)
+  a constant motion subspace S[i] (6 x nv_max) in the local joint frame
+  a configuration map M(q_i) computed per joint type.
+
+Supported joint types mirror the pinocchio joints the reference dispatches
+over via `jmodel.calc_aba` visitors (loik-loid-optimized.hxx:60):
+revolute (arbitrary axis), prismatic, free-flyer, spherical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import spatial
+
+# Joint type codes (static python ints)
+REVOLUTE = 0
+PRISMATIC = 1
+FREE_FLYER = 2
+SPHERICAL = 3
+
+JOINT_NV = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 6, SPHERICAL: 3}
+JOINT_NQ = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 7, SPHERICAL: 4}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class KinematicTree:
+    """Frozen kinematic tree. Topology static, geometry traced."""
+
+    # --- array leaves (traced) ---
+    placement_R: jnp.ndarray  # (N, 3, 3) fixed joint placement rotation (parent frame)
+    placement_p: jnp.ndarray  # (N, 3) fixed joint placement translation
+    axis: jnp.ndarray         # (N, 3) motion axis (revolute/prismatic); unused otherwise
+    velocity_limit: jnp.ndarray  # (nv,) default box bound magnitude per dof
+
+    # --- static metadata (hashable aux data) ---
+    parents: Tuple[int, ...]      # (N,) parent joint index, -1 = world
+    jtypes: Tuple[int, ...]       # (N,) joint type codes
+    idx_v: Tuple[int, ...]        # (N,) first dof index of each joint
+    idx_q: Tuple[int, ...]        # (N,) first config index of each joint
+    joint_names: Tuple[str, ...]  # (N,)
+    name: str = "robot"
+
+    # ------------------------------------------------------------------ #
+    # pytree plumbing
+    # ------------------------------------------------------------------ #
+    def tree_flatten(self):
+        leaves = (self.placement_R, self.placement_p, self.axis, self.velocity_limit)
+        aux = (self.parents, self.jtypes, self.idx_v, self.idx_q, self.joint_names, self.name)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    # ------------------------------------------------------------------ #
+    # static derived properties
+    # ------------------------------------------------------------------ #
+    @property
+    def njoints(self) -> int:
+        """Number of moving joints (= pinocchio njoints - 1, the universe dropped)."""
+        return len(self.parents)
+
+    @property
+    def nv(self) -> int:
+        return sum(JOINT_NV[t] for t in self.jtypes)
+
+    @property
+    def nq(self) -> int:
+        return sum(JOINT_NQ[t] for t in self.jtypes)
+
+    @property
+    def nvs(self) -> Tuple[int, ...]:
+        return tuple(JOINT_NV[t] for t in self.jtypes)
+
+    @property
+    def nv_max(self) -> int:
+        return max(self.nvs)
+
+    @property
+    def depth(self) -> int:
+        """Longest root-to-leaf chain length."""
+        d = {}
+        for i, p in enumerate(self.parents):
+            d[i] = 1 if p < 0 else d[p] + 1
+        return max(d.values())
+
+    @property
+    def dtype(self):
+        return self.placement_R.dtype
+
+    def children(self, i: int) -> Tuple[int, ...]:
+        return tuple(j for j, p in enumerate(self.parents) if p == i)
+
+    @property
+    def leaf_joints(self) -> Tuple[int, ...]:
+        has_child = set(p for p in self.parents if p >= 0)
+        return tuple(i for i in range(self.njoints) if i not in has_child)
+
+    # dof <-> (joint, slot) maps for padded layouts -------------------- #
+    @property
+    def dof_joint(self) -> Tuple[int, ...]:
+        """(nv,) joint index owning each dof."""
+        out = []
+        for i, nvi in enumerate(self.nvs):
+            out.extend([i] * nvi)
+        return tuple(out)
+
+    @property
+    def padded_to_flat(self) -> Tuple[int, ...]:
+        """(nv,) index into a flattened (N*nv_max,) padded dof array."""
+        out = []
+        for i, nvi in enumerate(self.nvs):
+            out.extend(i * self.nv_max + k for k in range(nvi))
+        return tuple(out)
+
+    # ------------------------------------------------------------------ #
+    # motion subspaces
+    # ------------------------------------------------------------------ #
+    def joint_S(self, i: int) -> jnp.ndarray:
+        """Motion subspace of joint i, shape (6, nv_i), [linear; angular] rows."""
+        t = self.jtypes[i]
+        dt = self.dtype
+        if t == REVOLUTE:
+            return jnp.concatenate([jnp.zeros((3, 1), dt), self.axis[i][:, None]], axis=0)
+        if t == PRISMATIC:
+            return jnp.concatenate([self.axis[i][:, None], jnp.zeros((3, 1), dt)], axis=0)
+        if t == FREE_FLYER:
+            return jnp.eye(6, dtype=dt)
+        if t == SPHERICAL:
+            return jnp.concatenate([jnp.zeros((3, 3), dt), jnp.eye(3, dtype=dt)], axis=0)
+        raise ValueError(f"unknown joint type {t}")
+
+    def joint_S_padded(self) -> jnp.ndarray:
+        """All subspaces zero-padded to (N, 6, nv_max)."""
+        nvm = self.nv_max
+        mats = []
+        for i in range(self.njoints):
+            S = self.joint_S(i)
+            mats.append(jnp.pad(S, ((0, 0), (0, nvm - S.shape[1]))))
+        return jnp.stack(mats)
+
+    def dof_mask_padded(self) -> jnp.ndarray:
+        """(N, nv_max) 1.0 where the padded dof slot is real."""
+        m = np.zeros((self.njoints, self.nv_max))
+        for i, nvi in enumerate(self.nvs):
+            m[i, :nvi] = 1.0
+        return jnp.asarray(m, dtype=self.dtype)
+
+    # ------------------------------------------------------------------ #
+    # configuration-dependent joint transforms
+    # ------------------------------------------------------------------ #
+    def joint_calc(self, i: int, q: jnp.ndarray):
+        """M(q_i): joint displacement (R, p) in the joint's local frame.
+
+        q has shape (..., nq); batching over leading dims is supported.
+        Mirrors `jmodel.calc(jdata, q)` in FwdPassInit
+        (loik-loid-optimized.hxx:263).
+        """
+        t = self.jtypes[i]
+        iq = self.idx_q[i]
+        if t == REVOLUTE:
+            ang = q[..., iq]
+            R = spatial.rotation_about_axis(jnp.broadcast_to(self.axis[i], ang.shape + (3,)), ang)
+            p = jnp.zeros(ang.shape + (3,), self.dtype)
+            return R, p
+        if t == PRISMATIC:
+            d = q[..., iq]
+            R = jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), d.shape + (3, 3))
+            p = d[..., None] * self.axis[i]
+            return R, p
+        if t == FREE_FLYER:
+            p = q[..., iq : iq + 3]
+            R = spatial.quat_to_rotmat(q[..., iq + 3 : iq + 7])
+            return R, p
+        if t == SPHERICAL:
+            R = spatial.quat_to_rotmat(q[..., iq : iq + 4])
+            p = jnp.zeros(R.shape[:-2] + (3,), self.dtype)
+            return R, p
+        raise ValueError(f"unknown joint type {t}")
+
+    def neutral(self) -> jnp.ndarray:
+        """Neutral configuration (identity transforms), like pinocchio::neutral."""
+        q = np.zeros((self.nq,))
+        for i, t in enumerate(self.jtypes):
+            if t == FREE_FLYER:
+                q[self.idx_q[i] + 6] = 1.0  # unit quaternion w
+            elif t == SPHERICAL:
+                q[self.idx_q[i] + 3] = 1.0
+        return jnp.asarray(q, dtype=self.dtype)
+
+    def random_configuration(self, key, batch_shape=()) -> jnp.ndarray:
+        """Random configuration; angles in [-pi, pi], quats uniform, xyz in [-1, 1]."""
+        q = jax.random.uniform(
+            key, batch_shape + (self.nq,), dtype=self.dtype, minval=-np.pi, maxval=np.pi
+        )
+        # normalize quaternion blocks
+        for i, t in enumerate(self.jtypes):
+            if t in (FREE_FLYER, SPHERICAL):
+                iq = self.idx_q[i] + (3 if t == FREE_FLYER else 0)
+                quat = q[..., iq : iq + 4]
+                quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+                q = q.at[..., iq : iq + 4].set(quat)
+            if t == FREE_FLYER:
+                iq = self.idx_q[i]
+                q = q.at[..., iq : iq + 3].set(q[..., iq : iq + 3] / np.pi)  # xyz in [-1, 1]
+        return q
+
+    # ------------------------------------------------------------------ #
+    # forward kinematics
+    # ------------------------------------------------------------------ #
+    def fwd_kinematics(self, q: jnp.ndarray):
+        """liMi and oMi for all joints.
+
+        Returns ``(liMi_R, liMi_p, oMi_R, oMi_p)`` each with leading batch
+        dims of ``q`` and a joint axis of size N.  ``liMi = placement * M(q)``
+        and ``oMi = oMi[parent] * liMi`` exactly as FwdPassInit
+        (loik-loid-optimized.hxx:264-265).
+        """
+        liMi_R, liMi_p, oMi_R, oMi_p = [], [], [], []
+        for i in range(self.njoints):
+            Rj, pj = self.joint_calc(i, q)
+            R, p = spatial.se3_compose(self.placement_R[i], self.placement_p[i], Rj, pj)
+            liMi_R.append(R)
+            liMi_p.append(p)
+            par = self.parents[i]
+            if par < 0:
+                oMi_R.append(R)
+                oMi_p.append(p)
+            else:
+                Ro, po = spatial.se3_compose(oMi_R[par], oMi_p[par], R, p)
+                oMi_R.append(Ro)
+                oMi_p.append(po)
+        # place the N joint axis right before the trailing matrix/vector dims
+        liMi_R = jnp.stack(liMi_R, axis=-3)
+        liMi_p = jnp.stack(liMi_p, axis=-2)
+        oMi_R = jnp.stack(oMi_R, axis=-3)
+        oMi_p = jnp.stack(oMi_p, axis=-2)
+        return liMi_R, liMi_p, oMi_R, oMi_p
+
+    def astype(self, dtype) -> "KinematicTree":
+        return dataclasses.replace(
+            self,
+            placement_R=self.placement_R.astype(dtype),
+            placement_p=self.placement_p.astype(dtype),
+            axis=self.axis.astype(dtype),
+            velocity_limit=self.velocity_limit.astype(dtype),
+        )
+
+
+def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
+    """Build a KinematicTree from a list of joint dicts.
+
+    Each dict: {name, parent (int, -1=world), type, axis (3,) optional,
+    xyz (3,) optional, rpy (3,) optional}.
+    Joints must be listed in topological order (parent before child).
+    """
+    parents, jtypes, names = [], [], []
+    pR, pp, axes = [], [], []
+    idx_v, idx_q = [], []
+    nv = nq = 0
+    for j in joints:
+        par = j["parent"]
+        if par >= len(parents):
+            raise ValueError("joints must be topologically ordered")
+        parents.append(par)
+        t = j["type"]
+        jtypes.append(t)
+        names.append(j["name"])
+        xyz = np.asarray(j.get("xyz", (0.0, 0.0, 0.0)), dtype=np.float64)
+        rpy = np.asarray(j.get("rpy", (0.0, 0.0, 0.0)), dtype=np.float64)
+        R = np.asarray(spatial.rpy_to_rotmat(jnp.asarray(rpy)))
+        ax = np.asarray(j.get("axis", (0.0, 0.0, 1.0)), dtype=np.float64)
+        n = np.linalg.norm(ax)
+        if n > 0:
+            ax = ax / n
+        pR.append(R)
+        pp.append(xyz)
+        axes.append(ax)
+        idx_v.append(nv)
+        idx_q.append(nq)
+        nv += JOINT_NV[t]
+        nq += JOINT_NQ[t]
+    vel_lim = np.full((nv,), np.inf)
+    for j, iv, t in zip(joints, idx_v, jtypes):
+        if "velocity_limit" in j:
+            vel_lim[iv : iv + JOINT_NV[t]] = j["velocity_limit"]
+    return KinematicTree(
+        placement_R=jnp.asarray(np.stack(pR), dtype=dtype),
+        placement_p=jnp.asarray(np.stack(pp), dtype=dtype),
+        axis=jnp.asarray(np.stack(axes), dtype=dtype),
+        velocity_limit=jnp.asarray(vel_lim, dtype=dtype),
+        parents=tuple(parents),
+        jtypes=tuple(jtypes),
+        idx_v=tuple(idx_v),
+        idx_q=tuple(idx_q),
+        joint_names=tuple(names),
+        name=name,
+    )

@@ -1,0 +1,50 @@
+"""Static solver hyper-parameters.
+
+The reference configures via 16 constructor args + setters
+(loik-loid-optimized.hpp:129-162, task-solver-base.hpp:105-141).  Here they
+are a frozen, hashable dataclass passed as a static jit argument — changing a
+hyper-parameter recompiles (rare); per-problem dynamic state (mu adaptation)
+lives in SolverState instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class MuUpdateStrat(enum.IntEnum):
+    """ADMM penalty update strategies (task-solver-base.hpp:13-18).
+
+    Only DEFAULT is implemented — matching the reference, where OSQP and
+    MAXEIGENVALUE are declared but throw (loik-loid.hxx:393-398)."""
+
+    DEFAULT = 0
+    OSQP = 1
+    MAXEIGENVALUE = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    max_iter: int = 100
+    tol_abs: float = 1e-3
+    tol_rel: float = 1e-3
+    tol_primal_inf: float = 1e-2
+    tol_dual_inf: float = 1e-2
+    rho: float = 1e-5
+    mu: float = 1e-2                      # initial ADMM penalty (mu0)
+    mu_equality_scale_factor: float = 1e4
+    mu_update_strat: MuUpdateStrat = MuUpdateStrat.DEFAULT
+    tol_tail_solve: float = 1e-1
+    warm_start: bool = False
+    logging: bool = False                 # return per-iteration SolveInfo arrays
+
+    def __post_init__(self):
+        if self.mu_update_strat != MuUpdateStrat.DEFAULT:
+            raise NotImplementedError(
+                "mu update strategy not yet implemented (parity with "
+                "loik-loid.hxx:393-398)"
+            )
+
+    def replace(self, **kw) -> "SolverParams":
+        return dataclasses.replace(self, **kw)

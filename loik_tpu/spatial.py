@@ -1,0 +1,203 @@
+"""Batched spatial algebra on SE(3), motions (twists) and forces (wrenches).
+
+TPU-native replacement for the Eigen/Pinocchio spatial-algebra substrate the
+reference builds on (cf. /root/reference/include/loik/loik-loid-data.hpp:10-28,
+which imports pinocchio SE3Tpl / MotionTpl / ForceTpl).  Everything here is a
+pure function on jnp arrays with arbitrary leading batch dims:
+
+  - SE(3) transform:  pair ``(R, p)`` with ``R (..., 3, 3)`` rotation and
+    ``p (..., 3)`` translation, mapping frame B -> frame A ("aMb").
+  - Motion (twist):   ``(..., 6)`` ordered ``[linear(3); angular(3)]`` —
+    the Pinocchio ``Motion::toVector()`` convention (LINEAR=0, ANGULAR=3).
+  - Force (wrench):   ``(..., 6)`` ordered ``[force(3); torque(3)]``.
+
+Conventions match Pinocchio so that solver recursions mirror the reference
+math exactly (e.g. ``liMi.toDualActionMatrix()`` in loik-loid.hxx:106 is
+`se3_dual_action_matrix` here).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LIN = slice(0, 3)
+ANG = slice(3, 6)
+
+
+def skew(v):
+    """Skew-symmetric matrix [v]x, shape (..., 3) -> (..., 3, 3)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    o = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([o, -z, y], axis=-1),
+            jnp.stack([z, o, -x], axis=-1),
+            jnp.stack([-y, x, o], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rotation_about_axis(axis, angle):
+    """Rodrigues rotation about a (unit) axis. axis (..., 3), angle (...)."""
+    c = jnp.cos(angle)[..., None, None]
+    s = jnp.sin(angle)[..., None, None]
+    K = skew(axis)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis.dtype), K.shape)
+    aaT = axis[..., :, None] * axis[..., None, :]
+    return c * eye + s * K + (1.0 - c) * aaT
+
+
+def quat_to_rotmat(q):
+    """Quaternion (x, y, z, w) — Pinocchio/Eigen coeff order — to rotation matrix.
+
+    q (..., 4), not necessarily normalized (normalized internally).
+    """
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - z * w)
+    r02 = 2 * (x * z + y * w)
+    r10 = 2 * (x * y + z * w)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - x * w)
+    r20 = 2 * (x * z - y * w)
+    r21 = 2 * (y * z + x * w)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rpy_to_rotmat(rpy):
+    """URDF roll-pitch-yaw (fixed XYZ axes) to rotation: R = Rz(y) Ry(p) Rx(r)."""
+    r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    r00 = cy * cp
+    r01 = cy * sp * sr - sy * cr
+    r02 = cy * sp * cr + sy * sr
+    r10 = sy * cp
+    r11 = sy * sp * sr + cy * cr
+    r12 = sy * sp * cr - cy * sr
+    r20 = -sp
+    r21 = cp * sr
+    r22 = cp * cr
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SE(3) group ops.  A transform is the pair (R, p) for aMb.
+# ---------------------------------------------------------------------------
+
+def se3_identity(dtype=jnp.float64):
+    return jnp.eye(3, dtype=dtype), jnp.zeros((3,), dtype=dtype)
+
+
+def se3_compose(Ra, pa, Rb, pb):
+    """(aMb) * (bMc) -> aMc."""
+    R = Ra @ Rb
+    p = pa + jnp.einsum("...ij,...j->...i", Ra, pb)
+    return R, p
+
+
+def se3_inverse(R, p):
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -jnp.einsum("...ij,...j->...i", Rt, p)
+
+
+# ---------------------------------------------------------------------------
+# Actions on motions and forces.
+# ---------------------------------------------------------------------------
+
+def act_motion(R, p, v):
+    """aMb acting on a motion expressed in B -> expressed in A (SE3::act)."""
+    ang = jnp.einsum("...ij,...j->...i", R, v[..., ANG])
+    lin = jnp.einsum("...ij,...j->...i", R, v[..., LIN]) + jnp.cross(p, ang)
+    return jnp.concatenate([lin, ang], axis=-1)
+
+
+def act_inv_motion(R, p, v):
+    """aMb^-1 acting on a motion expressed in A -> expressed in B (SE3::actInv)."""
+    lin = jnp.einsum("...ji,...j->...i", R, v[..., LIN] - jnp.cross(p, v[..., ANG]))
+    ang = jnp.einsum("...ji,...j->...i", R, v[..., ANG])
+    return jnp.concatenate([lin, ang], axis=-1)
+
+
+def act_force(R, p, f):
+    """aMb acting on a force expressed in B -> expressed in A (SE3::act on Force)."""
+    lin = jnp.einsum("...ij,...j->...i", R, f[..., LIN])
+    ang = jnp.einsum("...ij,...j->...i", R, f[..., ANG]) + jnp.cross(p, lin)
+    return jnp.concatenate([lin, ang], axis=-1)
+
+
+def act_inv_force(R, p, f):
+    """aMb^-1 acting on a force expressed in A -> expressed in B."""
+    lin = jnp.einsum("...ji,...j->...i", R, f[..., LIN])
+    ang = jnp.einsum("...ji,...j->...i", R, f[..., ANG] - jnp.cross(p, f[..., LIN]))
+    return jnp.concatenate([lin, ang], axis=-1)
+
+
+def se3_action_matrix(R, p):
+    """6x6 motion action matrix X with X v = act_motion(R, p, v).
+
+    X = [[R, [p]x R], [0, R]] in [linear; angular] ordering
+    (pinocchio SE3::toActionMatrix, used in ik-id-description.hpp:458).
+    """
+    pxR = skew(p) @ R
+    z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, pxR], axis=-1)
+    bot = jnp.concatenate([z, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def se3_dual_action_matrix(R, p):
+    """6x6 force action matrix X* with X* f = act_force(R, p, f).
+
+    X* = [[R, 0], [[p]x R, R]] (pinocchio SE3::toDualActionMatrix,
+    used in the backward Riccati sweep, loik-loid.hxx:106-107).
+    """
+    pxR = skew(p) @ R
+    z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, z], axis=-1)
+    bot = jnp.concatenate([pxR, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def se3_act_on_sym6(R, p, H):
+    """Congruence transform of a symmetric 6x6 onto the parent frame.
+
+    Returns X* H X^-1 where X is the motion action of (R, p); this is what
+    `pinocchio::impl::internal::SE3actOn` computes for the ABA articulated
+    inertia update (loik-loid-optimized.hxx:66).  For symmetric H this equals
+    Xd @ H @ Xd^T with Xd the dual action matrix, since X^-1 = Xd^T... note
+    X^{-T} = Xd  =>  X^-1 = Xd^T.
+    """
+    Xd = se3_dual_action_matrix(R, p)
+    return Xd @ H @ jnp.swapaxes(Xd, -1, -2)
+
+
+def motion_cross(v1, v2):
+    """Motion cross product v1 x v2 (spatial velocity bracket), [lin; ang]."""
+    w1, u1 = v1[..., ANG], v1[..., LIN]
+    w2, u2 = v2[..., ANG], v2[..., LIN]
+    ang = jnp.cross(w1, w2)
+    lin = jnp.cross(w1, u2) + jnp.cross(u1, w2)
+    return jnp.concatenate([lin, ang], axis=-1)
+
+
+def inf_norm(x, axis=None):
+    return jnp.max(jnp.abs(x), axis=axis)

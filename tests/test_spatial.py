@@ -1,0 +1,121 @@
+"""Spatial-algebra unit tests: group laws, action/matrix consistency,
+motion-force duality.  Mirrors the conventions the reference inherits from
+pinocchio (SE3::act/actInv/toActionMatrix/toDualActionMatrix)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loik_tpu import spatial
+
+
+def rand_se3(key):
+    k1, k2 = jax.random.split(key)
+    q = jax.random.normal(k1, (4,), dtype=jnp.float64)
+    R = spatial.quat_to_rotmat(q)
+    p = jax.random.normal(k2, (3,), dtype=jnp.float64)
+    return R, p
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def test_rotation_about_axis_matches_quat():
+    axis = jnp.array([0.0, 0.0, 1.0])
+    th = 0.7
+    R = spatial.rotation_about_axis(axis, jnp.asarray(th))
+    expect = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    np.testing.assert_allclose(np.asarray(R), expect, atol=1e-14)
+    # orthonormality for arbitrary axis
+    a = jnp.array([1.0, 2.0, -0.5])
+    a = a / jnp.linalg.norm(a)
+    R2 = spatial.rotation_about_axis(a, jnp.asarray(1.3))
+    np.testing.assert_allclose(np.asarray(R2 @ R2.T), np.eye(3), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(R2 @ a), np.asarray(a), atol=1e-14)
+
+
+def test_rpy_convention():
+    # yaw-only
+    R = spatial.rpy_to_rotmat(jnp.array([0.0, 0.0, np.pi / 2]))
+    np.testing.assert_allclose(np.asarray(R @ jnp.array([1.0, 0, 0])), [0, 1, 0], atol=1e-14)
+    # roll-only
+    R = spatial.rpy_to_rotmat(jnp.array([np.pi / 2, 0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(R @ jnp.array([0, 1.0, 0])), [0, 0, 1], atol=1e-14)
+
+
+def test_compose_inverse(key):
+    Ra, pa = rand_se3(key)
+    Ri, pi = spatial.se3_inverse(Ra, pa)
+    R, p = spatial.se3_compose(Ra, pa, Ri, pi)
+    np.testing.assert_allclose(np.asarray(R), np.eye(3), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(p), np.zeros(3), atol=1e-13)
+
+
+def test_action_matrix_consistency(key):
+    k1, k2 = jax.random.split(key)
+    R, p = rand_se3(k1)
+    v = jax.random.normal(k2, (6,), dtype=jnp.float64)
+    X = spatial.se3_action_matrix(R, p)
+    np.testing.assert_allclose(
+        np.asarray(X @ v), np.asarray(spatial.act_motion(R, p, v)), atol=1e-13
+    )
+    Xd = spatial.se3_dual_action_matrix(R, p)
+    np.testing.assert_allclose(
+        np.asarray(Xd @ v), np.asarray(spatial.act_force(R, p, v)), atol=1e-13
+    )
+    # duality: X* = X^{-T}
+    np.testing.assert_allclose(np.asarray(Xd), np.linalg.inv(np.asarray(X)).T, atol=1e-12)
+
+
+def test_act_inv_roundtrip(key):
+    k1, k2 = jax.random.split(key)
+    R, p = rand_se3(k1)
+    v = jax.random.normal(k2, (6,), dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(spatial.act_inv_motion(R, p, spatial.act_motion(R, p, v))),
+        np.asarray(v),
+        atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(spatial.act_inv_force(R, p, spatial.act_force(R, p, v))),
+        np.asarray(v),
+        atol=1e-13,
+    )
+
+
+def test_power_pairing_invariance(key):
+    """<f, v> is invariant: <X* f, X v> = <f, v> — force/motion duality."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    R, p = rand_se3(k1)
+    v = jax.random.normal(k2, (6,), dtype=jnp.float64)
+    f = jax.random.normal(k3, (6,), dtype=jnp.float64)
+    lhs = jnp.dot(spatial.act_force(R, p, f), spatial.act_motion(R, p, v))
+    np.testing.assert_allclose(float(lhs), float(jnp.dot(f, v)), atol=1e-12)
+
+
+def test_se3_act_on_sym6(key):
+    k1, k2 = jax.random.split(key)
+    R, p = rand_se3(k1)
+    A = jax.random.normal(k2, (6, 6), dtype=jnp.float64)
+    H = A + A.T
+    X = spatial.se3_action_matrix(R, p)
+    expect = np.linalg.inv(np.asarray(X)).T @ np.asarray(H) @ np.linalg.inv(np.asarray(X))
+    got = spatial.se3_act_on_sym6(R, p, H)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-12)
+
+
+def test_batching(key):
+    ks = jax.random.split(key, 4)
+    R = spatial.quat_to_rotmat(jax.random.normal(ks[0], (5, 4), dtype=jnp.float64))
+    p = jax.random.normal(ks[1], (5, 3), dtype=jnp.float64)
+    v = jax.random.normal(ks[2], (5, 6), dtype=jnp.float64)
+    batched = spatial.act_motion(R, p, v)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(spatial.act_motion(R[i], p[i], v[i])), atol=1e-14
+        )
