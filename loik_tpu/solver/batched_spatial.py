@@ -1,0 +1,104 @@
+"""Spatial algebra specialized for the fast solver's trailing-batch layout.
+
+Every array carries the problem batch as its LAST axis so that on TPU the
+batch rides the 128-wide vector lanes; the tiny spatial dims (3/6) stay in
+sublanes or are unrolled.  A (B,N,6,6)-leading-batch layout would put a
+6-element axis on the lanes (5% utilization); this layout is the single most
+important deviation from a naive port of the reference's per-joint Eigen ops
+(SURVEY.md §7 hard part 1).
+
+Shapes: R (..., 3, 3, B), p (..., 3, B), motions/forces (..., 6, B),
+6x6 operators (..., 6, 6, B).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LIN = slice(0, 3)
+ANG = slice(3, 6)
+
+
+def mv(M, v):
+    """Matrix @ vector over trailing batch: (..., i, j, B), (..., j, B) -> (..., i, B)."""
+    return jnp.einsum("...ijb,...jb->...ib", M, v)
+
+
+def mtv(M, v):
+    """Matrix^T @ vector over trailing batch."""
+    return jnp.einsum("...jib,...jb->...ib", M, v)
+
+
+def mm(A, B):
+    return jnp.einsum("...ijb,...jkb->...ikb", A, B)
+
+
+def mtm(A, B):
+    return jnp.einsum("...jib,...jkb->...ikb", A, B)
+
+
+def mmt(A, B):
+    return jnp.einsum("...ijb,...kjb->...ikb", A, B)
+
+
+def cross(a, b):
+    """Cross product on (..., 3, B) arrays."""
+    ax, ay, az = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    bx, by, bz = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-2
+    )
+
+
+def act_motion(R, p, v):
+    """aMb acting on motion in B-frame -> A-frame; [linear; angular] rows."""
+    ang = mv(R, v[..., ANG, :])
+    lin = mv(R, v[..., LIN, :]) + cross(p, ang)
+    return jnp.concatenate([lin, ang], axis=-2)
+
+
+def act_inv_motion(R, p, v):
+    lin = mtv(R, v[..., LIN, :] - cross(p, v[..., ANG, :]))
+    ang = mtv(R, v[..., ANG, :])
+    return jnp.concatenate([lin, ang], axis=-2)
+
+
+def act_force(R, p, f):
+    lin = mv(R, f[..., LIN, :])
+    ang = mv(R, f[..., ANG, :]) + cross(p, lin)
+    return jnp.concatenate([lin, ang], axis=-2)
+
+
+def skew(v):
+    """(..., 3, B) -> (..., 3, 3, B)."""
+    x, y, z = v[..., 0, :], v[..., 1, :], v[..., 2, :]
+    o = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([o, -z, y], axis=-2),
+            jnp.stack([z, o, -x], axis=-2),
+            jnp.stack([-y, x, o], axis=-2),
+        ],
+        axis=-3,
+    )
+
+
+def dual_action_matrix(R, p):
+    """X* = [[R, 0], [[p]x R, R]]: (..., 3, 3, B),(..., 3, B) -> (..., 6, 6, B)."""
+    pxR = mm(skew(p), R)
+    z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, z], axis=-2)
+    bot = jnp.concatenate([pxR, R], axis=-2)
+    return jnp.concatenate([top, bot], axis=-3)
+
+
+def act_sym6(R, p, H):
+    """X* H X*^T — congruence transform of a symmetric 6x6 recursion operator
+    to the parent frame (`SE3actOn`, loik-loid-optimized.hxx:66)."""
+    Xd = dual_action_matrix(R, p)
+    return mmt(mm(Xd, H), Xd)
+
+
+def inf_norm_b(x):
+    """Inf-norm over all axes except the trailing batch -> (B,)."""
+    return jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))

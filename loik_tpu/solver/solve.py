@@ -1,0 +1,502 @@
+"""The production batched ADMM solver.
+
+TPU-native re-design of `FirstOrderLoikOptimizedTpl`
+(loik-loid-optimized.hpp:22-808): one jit-compiled `lax.while_loop` whose
+body is a full ADMM iteration over a BATCH of independent problems —
+
+  FwdPass1 -> BwdPass (Riccati, leaf->root) -> FwdPass2 (root->leaf)
+  -> BoxProj -> DualUpdate -> residual recursion (BwdPass2) -> convergence
+  / infeasibility checks -> per-problem mu update
+
+with these deliberate departures from the reference's structure:
+
+- Tree sweeps unroll at TRACE time over the static topology: each per-joint
+  step is pure SSA on (6,B)/(6,6,B) values (no dynamic indexing, no
+  scatter); the batch axis is trailing so it rides the TPU vector lanes.
+- Per-joint D blocks use the joint's EXACT dof count (static): revolute
+  joints get scalar reciprocals, free-flyers get 6x6 batched inverses —
+  the branchless analog of pinocchio's `calc_aba` per-joint-type dispatch
+  (loik-loid-optimized.hxx:60).
+- Early exit is MASKED: problems that converge / finish their infeasibility
+  tail solve freeze (jnp.where merge) while the rest keep iterating; the
+  loop ends when every problem is done (SURVEY.md §7 translation table).
+- The 15 incrementally-tracked inf-norms of the optimized reference
+  (loik-loid-data-optimized.hpp:259-329) become direct max-reductions.
+- Per-problem mu: the scalar penalty adaptation (loik-loid-optimized.hxx:
+  613-641) vectorizes to a (B,) mu vector.
+- Dual infeasibility is NOT detected, matching the optimized reference
+  whose CheckFeasibility never sets dual_infeasible_
+  (loik-loid-optimized.hxx:572-606); the oracle detects both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import SolverParams
+from ..problem import IkProblem
+from . import batched_spatial as bsp
+from .state import PreparedProblem, SolverState, SolveResult, init_state
+
+# --------------------------------------------------------------------------- #
+# problem preparation (SolveInit phase)
+# --------------------------------------------------------------------------- #
+
+
+def _to_trailing(x, batch: int, core_ndim: int):
+    """Broadcast a possibly-unbatched leaf to (core..., B) trailing layout."""
+    x = jnp.asarray(x)
+    if x.ndim == core_ndim:  # unbatched: share across batch
+        return jnp.broadcast_to(x[..., None], x.shape + (batch,))
+    # leading batch -> trailing
+    return jnp.moveaxis(x, 0, -1)
+
+
+def prepare_problem(tree, problem: IkProblem, B: int, dtype) -> PreparedProblem:
+    """Precompute Hv, AtA, Atb and norms once per solve — the analog of
+    `IkProblemFormulationOptimized::UpdateReference/UpdateEqConstraints`
+    (ik-id-description-optimized.hpp:78-171)."""
+    N, K, nv = tree.njoints, tree.nv_max, tree.nv
+    H_ref = _to_trailing(problem.H_ref, B, 3).astype(dtype)   # (N,6,6,B)
+    v_ref = _to_trailing(problem.v_ref, B, 2).astype(dtype)   # (N,6,B)
+    A = _to_trailing(problem.A, B, 3).astype(dtype)           # (NC,6,6,B)
+    b = _to_trailing(problem.b, B, 2).astype(dtype)           # (NC,6,B)
+    lb = _to_trailing(problem.lb, B, 1).astype(dtype)         # (nv,B)
+    ub = _to_trailing(problem.ub, B, 1).astype(dtype)
+
+    Hv = bsp.mtv(H_ref, v_ref)                                # H_ref^T v_ref
+    AtA = bsp.mtm(A, A)
+    Atb = bsp.mtv(A, b)
+
+    # scatter flat (nv,B) bounds into padded (N,K,B); padding slots stay 0
+    def pad_dofs(flat):
+        out = jnp.zeros((N, K, B), dtype)
+        for i in range(N):
+            iv, k = tree.idx_v[i], tree.nvs[i]
+            out = out.at[i, :k].set(flat[iv : iv + k])
+        return out
+
+    return PreparedProblem(
+        H_ref=H_ref,
+        Hv=Hv,
+        A=A,
+        b=b,
+        AtA=AtA,
+        Atb=Atb,
+        lb=pad_dofs(lb),
+        ub=pad_dofs(ub),
+        b_inf=bsp.inf_norm_b(b),
+        Hv_inf=bsp.inf_norm_b(Hv),
+        constraint_links=problem.constraint_links,
+    )
+
+
+def fwd_pass_init(tree, q):
+    """FK: liMi per joint in trailing-batch layout.  q (B, nq).
+    (FwdPassInit, loik-loid-optimized.hxx:253-283; oMi is not needed by the
+    solver recursions — only liMi enters the sweeps.)"""
+    lR, lp, _, _ = tree.fwd_kinematics(q)  # (B,N,3,3), (B,N,3)
+    return jnp.moveaxis(lR, 0, -1), jnp.moveaxis(lp, 0, -1)
+
+
+# --------------------------------------------------------------------------- #
+# one full ADMM iteration (all problems, unmasked)
+# --------------------------------------------------------------------------- #
+
+
+def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverState):
+    """Compute one ADMM iteration for every problem in the batch; returns the
+    pieces needed for flag/penalty updates.  Pure function of the state."""
+    N, K = tree.njoints, tree.nv_max
+    dtype = st.vis.dtype
+    # S leaves are traced (they derive from the tree's axis leaf)
+    S = [tree.joint_S(i).astype(dtype) for i in range(N)]
+    nvs, parents = tree.nvs, tree.parents
+    c_links = prob.constraint_links
+    mu_eq = st.mu_eq  # (B,)
+    mu_ineq = st.mu_ineq
+
+    eye6 = jnp.eye(6, dtype=dtype)[:, :, None]
+
+    # ---------------- FwdPass1 (loik-loid-optimized.hxx:290-338) ----------
+    r = st.w - mu_ineq * st.z                      # (N,K,B)
+    H = params.rho * eye6 + prob.H_ref             # (N,6,6,B)
+    p = -params.rho * st.vis - prob.Hv             # vis == vis_prev at entry
+    for k, c in enumerate(c_links):
+        H = H.at[c].add(mu_eq * prob.AtA[k])
+        p = p.at[c].add(st.Aty[k] - mu_eq * prob.Atb[k])
+
+    # unstack to per-joint SSA values for the sweeps
+    H_list = [H[i] for i in range(N)]
+    p_list = [p[i] for i in range(N)]
+    lR = [st.liMi_R[i] for i in range(N)]
+    lp = [st.liMi_p[i] for i in range(N)]
+
+    # ---------------- BwdPass: backward Riccati sweep ---------------------
+    # (loik-loid.hxx:82-113 semantics via the calc_aba form,
+    #  loik-loid-optimized.hxx:21-83)
+    Dinv = [None] * N
+    U = [None] * N
+    r_tot = [None] * N
+    for i in reversed(range(N)):
+        Si = S[i]            # (6, k) static
+        k = nvs[i]
+        Hi = H_list[i]       # (6,6,B) accumulated (children already added)
+        pi = p_list[i]
+        Ui = jnp.einsum("ijb,jk->ikb", Hi, Si)            # H S    (6,k,B)
+        Di = jnp.einsum("ji,jkb->ikb", Si, Ui)            # S^T H S (k,k,B)
+        Ri = mu_ineq * jnp.eye(k, dtype=dtype)[:, :, None]
+        Di = Di + Ri
+        if k == 1:
+            Dinv_i = 1.0 / Di
+        else:
+            Dinv_i = jnp.moveaxis(
+                jnp.linalg.inv(jnp.moveaxis(Di, -1, 0)), 0, -1
+            )
+        ri = r[i, :k] + jnp.einsum("jk,jb->kb", Si, pi)    # r + S^T p  (k,B)
+        Dinv[i], U[i], r_tot[i] = Dinv_i, Ui, ri
+        par = parents[i]
+        if par >= 0:
+            UDinv = jnp.einsum("ikb,klb->ilb", Ui, Dinv_i)     # (6,k,B)
+            Ha = Hi - jnp.einsum("ikb,jkb->ijb", UDinv, Ui)    # H - U D^-1 U^T
+            pa = pi - jnp.einsum("ikb,kb->ib", UDinv, ri)      # p - U D^-1 r
+            H_list[par] = H_list[par] + bsp.act_sym6(lR[i], lp[i], Ha)
+            p_list[par] = p_list[par] + bsp.act_force(lR[i], lp[i], pa)
+
+    # ---------------- FwdPass2 (loik-loid-optimized.hxx:91-165) -----------
+    vis_new_list = [None] * N
+    fis_new_list = [None] * N
+    nu_new_list = [None] * N
+    B = st.vis.shape[-1]
+    zero6 = jnp.zeros((6, B), dtype)
+    for i in range(N):
+        par = parents[i]
+        v_par = vis_new_list[par] if par >= 0 else zero6
+        v_par_loc = bsp.act_inv_motion(lR[i], lp[i], v_par)     # (6,B)
+        k = nvs[i]
+        rhs = jnp.einsum("ikb,ib->kb", U[i], v_par_loc) + r_tot[i]
+        nui = -jnp.einsum("klb,lb->kb", Dinv[i], rhs)           # (k,B)
+        vi = v_par_loc + jnp.einsum("jk,kb->jb", S[i], nui)
+        fi = jnp.einsum("ijb,jb->ib", H_list[i], vi) + p_list[i]
+        vis_new_list[i] = vi
+        fis_new_list[i] = fi
+        nu_new_list[i] = jnp.pad(nui, ((0, K - k), (0, 0)))
+    vis_new = jnp.stack(vis_new_list)
+    fis_new = jnp.stack(fis_new_list)
+    nu_new = jnp.stack(nu_new_list)                             # (N,K,B)
+
+    delta_fis = fis_new - st.fis
+    delta_vis_inf = bsp.inf_norm_b(vis_new - st.vis)
+    delta_nu_inf = bsp.inf_norm_b(nu_new - st.nu)
+    nu_inf = bsp.inf_norm_b(nu_new)
+
+    # ---------------- BoxProj (loik-loid-optimized.hxx:384-397) -----------
+    z_new = jnp.clip(nu_new + st.w / mu_ineq, prob.lb, prob.ub)
+    delta_z_inf = bsp.inf_norm_b(z_new - st.z)
+
+    # ---------------- DualUpdate (loik-loid-optimized.hxx:404-461) --------
+    Av_minus_b = jnp.stack(
+        [bsp.mv(prob.A[k], vis_new[c]) - prob.b[k] for k, c in enumerate(c_links)]
+    )  # (NC,6,B)
+    delta_yis = mu_eq * Av_minus_b
+    yis_new = st.yis + delta_yis
+    Aty_new = bsp.mtv(prob.A, yis_new)
+    delta_w = mu_ineq * (nu_new - z_new)
+    w_new = st.w + delta_w
+    Av_inf = jnp.max(
+        jnp.stack([bsp.inf_norm_b(bsp.mv(prob.A[k], vis_new[c]))
+                   for k, c in enumerate(c_links)]),
+        axis=0,
+    )
+    bT_dy_plus = jnp.einsum("cib,cib->b", prob.b, jnp.maximum(delta_yis, 0.0))
+    bT_dy_minus = jnp.einsum("cib,cib->b", prob.b, jnp.minimum(delta_yis, 0.0))
+    ubT_dw_plus = jnp.einsum("nkb,nkb->b", prob.ub, jnp.maximum(delta_w, 0.0))
+    lbT_dw_minus = jnp.einsum("nkb,nkb->b", prob.lb, jnp.minimum(delta_w, 0.0))
+
+    # ---------------- primal residual ------------------------------------
+    pr_slack = nu_new - z_new
+    primal_residual_task = bsp.inf_norm_b(Av_minus_b)
+    primal_residual_slack = bsp.inf_norm_b(pr_slack)
+    primal_residual = jnp.maximum(primal_residual_task, primal_residual_slack)
+
+    # ---------------- dual residual: BwdPass2 recursion -------------------
+    # fdpa[i] = (A^T y)_i - f_i + sum_children X* f_child ; stfw = S^T f + w
+    # (loik-loid-optimized.hxx:173-243 + DualUpdate seeding :435-439)
+    fdpa_list = [jnp.zeros((6, B), dtype) for _ in range(N)]
+    for k, c in enumerate(c_links):
+        fdpa_list[c] = Aty_new[k]
+    for i in reversed(range(N)):
+        fdpa_list[i] = fdpa_list[i] - fis_new[i]
+        par = parents[i]
+        if par >= 0:
+            fdpa_list[par] = fdpa_list[par] + bsp.act_force(lR[i], lp[i], fis_new[i])
+    fdpa_new = jnp.stack(fdpa_list)
+    stfw_new_list = []
+    for i in range(N):
+        k = nvs[i]
+        stf = jnp.einsum("jk,jb->kb", S[i], fis_new[i]) + w_new[i, :k]
+        stfw_new_list.append(jnp.pad(stf, ((0, K - k), (0, 0))))
+    stfw_new = jnp.stack(stfw_new_list)
+
+    Href_v = bsp.mv(prob.H_ref, vis_new)                        # (N,6,B)
+    dr_v = Href_v - prob.Hv + fdpa_new
+    dual_residual_v = bsp.inf_norm_b(dr_v)
+    dual_residual_nu = bsp.inf_norm_b(stfw_new)
+    dual_residual = jnp.maximum(dual_residual_v, dual_residual_nu)
+
+    # ---------------- adaptive tolerances (loik-loid-optimized.hxx:540-565)
+    tol_primal = params.tol_abs + params.tol_rel * jnp.maximum(
+        jnp.maximum(Av_inf, nu_inf), prob.b_inf
+    )
+    tol_dual = params.tol_abs + params.tol_rel * jnp.maximum(
+        jnp.maximum(bsp.inf_norm_b(Href_v), prob.Hv_inf),
+        jnp.maximum(bsp.inf_norm_b(fdpa_new), bsp.inf_norm_b(stfw_new)),
+    )
+
+    # ---------------- infeasibility certificate pieces --------------------
+    # (loik-loid-optimized.hxx:572-606)
+    delta_y_inf = jnp.maximum(
+        bsp.inf_norm_b(delta_fis),
+        jnp.maximum(bsp.inf_norm_b(delta_yis), bsp.inf_norm_b(delta_w)),
+    )
+    At_dy_inf = jnp.maximum(
+        bsp.inf_norm_b(fdpa_new - st.fdpa), bsp.inf_norm_b(stfw_new - st.stfw)
+    )
+    pinf_cond1 = At_dy_inf <= params.tol_primal_inf * delta_y_inf
+    pinf_cond2 = (
+        bT_dy_plus + ubT_dw_plus + bT_dy_minus + lbT_dw_minus
+    ) <= params.tol_primal_inf * delta_y_inf
+    primal_infeasible_now = pinf_cond1 & pinf_cond2
+
+    delta_x_inf = jnp.maximum(delta_vis_inf, delta_nu_inf)
+
+    new = dict(
+        vis=vis_new, fis=fis_new, nu=nu_new, z=z_new, w=w_new,
+        yis=yis_new, Aty=Aty_new, fdpa=fdpa_new, stfw=stfw_new,
+        primal_residual=primal_residual, dual_residual=dual_residual,
+        delta_x_inf=delta_x_inf, delta_z_inf=delta_z_inf,
+    )
+    checks = dict(
+        tol_primal=tol_primal, tol_dual=tol_dual,
+        primal_infeasible_now=primal_infeasible_now,
+    )
+    return new, checks
+
+
+# --------------------------------------------------------------------------- #
+# masked while-loop driver
+# --------------------------------------------------------------------------- #
+
+
+def _masked_merge(mask, new, old):
+    """Per-problem freeze: trailing-batch layout makes (B,) masks broadcast."""
+    return jnp.where(mask, new, old)
+
+
+def _solve_loop(tree, prob: PreparedProblem, params: SolverParams, st: SolverState):
+    """Run the ADMM main loop + per-problem infeasibility tail solves inside
+    one lax.while_loop with masked termination (Solve,
+    loik-loid-optimized.hpp:368-455 + InfeasibilityTailSolve :266-319)."""
+
+    max_iter = params.max_iter
+
+    def cond(st: SolverState):
+        return jnp.any(st.running)
+
+    def body(st: SolverState) -> SolverState:
+        i = st.it + 1
+        active = st.running                      # (B,)
+        new, checks = _iteration(tree, prob, params, st)
+
+        # --- flag transitions -------------------------------------------
+        # normal-mode problems: convergence first, then feasibility (iter>1),
+        # then mu update (loik-loid-optimized.hpp:417-452)
+        normal = active & ~st.in_tail
+        conv_now = (
+            normal
+            & (new["primal_residual"] < checks["tol_primal"])
+            & (new["dual_residual"] < checks["tol_dual"])
+        )
+        pinf_now = normal & ~conv_now & (i > 1) & checks["primal_infeasible_now"]
+        in_tail_next = st.in_tail | pinf_now
+
+        # tail-mode termination: iterates stopped moving
+        # (while-condition of InfeasibilityTailSolve)
+        tail_done = (
+            active
+            & in_tail_next
+            & (new["delta_x_inf"] < params.tol_tail_solve)
+            & (new["delta_z_inf"] < params.tol_tail_solve)
+        )
+
+        # mu update only for problems continuing in normal mode
+        do_mu = normal & ~conv_now & ~pinf_now
+        rp, rd = new["primal_residual"], new["dual_residual"]
+        mu_next = jnp.where(
+            rp > 10.0 * rd, st.mu * 10.0, jnp.where(rd > 10.0 * rp, st.mu * 0.1, st.mu)
+        )
+        mu_next = jnp.where(do_mu, mu_next, st.mu)
+        mu_eq_next = jnp.where(do_mu, params.mu_equality_scale_factor * mu_next, st.mu_eq)
+        mu_ineq_next = jnp.where(do_mu, mu_next, st.mu_ineq)
+
+        # iteration budget: main loop runs i <= max_iter-1; tail runs i <= max_iter
+        budget_next = jnp.where(in_tail_next, i + 1 <= max_iter, i + 1 <= max_iter - 1)
+        running_next = active & ~conv_now & ~tail_done & budget_next
+
+        # --- merge (freeze finished problems) ---------------------------
+        merged = {k: _masked_merge(active, v, getattr(st, k)) for k, v in new.items()}
+        updates = dict(
+            merged,
+            mu=mu_next,
+            mu_eq=mu_eq_next,
+            mu_ineq=mu_ineq_next,
+            converged=st.converged | conv_now,
+            primal_infeasible=st.primal_infeasible | pinf_now,
+            in_tail=in_tail_next,
+            running=running_next,
+            iterations=jnp.where(active, i, st.iterations),
+            # tail iterations count only the passes AFTER detection
+            # (InfeasibilityTailSolve increments inside its while loop)
+            tail_iterations=jnp.where(
+                active & st.in_tail, st.tail_iterations + 1, st.tail_iterations
+            ),
+            it=i,
+        )
+        if params.logging:
+            updates["log_rp"] = st.log_rp.at[i - 1].set(
+                jnp.where(active, new["primal_residual"], jnp.nan)
+            )
+            updates["log_rd"] = st.log_rd.at[i - 1].set(
+                jnp.where(active, new["dual_residual"], jnp.nan)
+            )
+            updates["log_mu"] = st.log_mu.at[i - 1].set(jnp.where(active, st.mu, jnp.nan))
+        return dataclasses.replace(st, **updates)
+
+    return jax.lax.while_loop(cond, body, st)
+
+
+# --------------------------------------------------------------------------- #
+# public API
+# --------------------------------------------------------------------------- #
+
+
+def _reset_state(tree, params: SolverParams, st: SolverState, dtype) -> SolverState:
+    """ResetSolver + conditional warm-start wipe
+    (loik-loid-optimized.hpp:168-186, loik-loid-data-optimized.hxx:114-127)."""
+    B = st.mu.shape[0]
+    mu0 = jnp.full((B,), params.mu, dtype)
+    upd = dict(
+        mu=mu0,
+        mu_eq=params.mu_equality_scale_factor * mu0,
+        mu_ineq=mu0,
+        iterations=jnp.zeros((B,), jnp.int32),
+        tail_iterations=jnp.zeros((B,), jnp.int32),
+        converged=jnp.zeros((B,), bool),
+        primal_infeasible=jnp.zeros((B,), bool),
+        dual_infeasible=jnp.zeros((B,), bool),
+        in_tail=jnp.zeros((B,), bool),
+        running=jnp.ones((B,), bool),
+        primal_residual=jnp.full((B,), jnp.inf, dtype),
+        dual_residual=jnp.full((B,), jnp.inf, dtype),
+        delta_x_inf=jnp.zeros((B,), dtype),
+        delta_z_inf=jnp.zeros((B,), dtype),
+        it=jnp.zeros((), jnp.int32),
+    )
+    if not params.warm_start:
+        upd.update(
+            vis=jnp.zeros_like(st.vis),
+            fis=jnp.zeros_like(st.fis),
+            nu=jnp.zeros_like(st.nu),
+            z=jnp.zeros_like(st.z),
+            w=jnp.zeros_like(st.w),
+            yis=jnp.zeros_like(st.yis),
+            Aty=jnp.zeros_like(st.Aty),
+            fdpa=jnp.zeros_like(st.fdpa),
+            stfw=jnp.zeros_like(st.stfw),
+        )
+    if params.logging:
+        upd.update(
+            log_rp=jnp.full((params.max_iter, B), jnp.nan, dtype),
+            log_rd=jnp.full((params.max_iter, B), jnp.nan, dtype),
+            log_mu=jnp.full((params.max_iter, B), jnp.nan, dtype),
+        )
+    return dataclasses.replace(st, **upd)
+
+
+def _flat_nu(tree, padded):
+    """(N,K,B) padded dof array -> (B, nv) flat joint velocities."""
+    N, K = padded.shape[0], padded.shape[1]
+    flat = padded.reshape(N * K, -1)
+    idx = jnp.asarray(tree.padded_to_flat)
+    return jnp.moveaxis(flat[idx], -1, 0)
+
+
+def _solve_impl(tree, params: SolverParams, q, problem: IkProblem,
+                warm_state: Optional[SolverState]):
+    dtype = q.dtype
+    B = q.shape[0]
+    prob = prepare_problem(tree, problem, B, dtype)
+    if warm_state is None:
+        st = init_state(tree, B, problem.num_constraints, dtype,
+                        params.max_iter, params.logging)
+    else:
+        st = warm_state
+    st = _reset_state(tree, params, st, dtype)
+    liMi_R, liMi_p = fwd_pass_init(tree, q)
+    st = dataclasses.replace(st, liMi_R=liMi_R, liMi_p=liMi_p)
+    st = _solve_loop(tree, prob, params, st)
+
+    vis_out = jnp.moveaxis(st.vis, -1, 0)  # (B,N,6)
+    return SolveResult(
+        nu=_flat_nu(tree, st.nu),
+        z=_flat_nu(tree, st.z),
+        vis=vis_out,
+        converged=st.converged,
+        primal_infeasible=st.primal_infeasible,
+        dual_infeasible=st.dual_infeasible,
+        iterations=st.iterations,
+        tail_iterations=st.tail_iterations,
+        primal_residual=st.primal_residual,
+        dual_residual=st.dual_residual,
+        state=st,
+        log_rp=st.log_rp,
+        log_rd=st.log_rd,
+        log_mu=st.log_mu,
+    )
+
+
+# tree and problem are pytrees whose static topology lives in their treedefs
+# (KinematicTree aux data / constraint_links) — jit re-specializes per
+# topology while placements and constraint values stay traced.
+@functools.partial(jax.jit, static_argnums=(1,))
+def _solve_jit(tree, params, q, problem, warm_state):
+    return _solve_impl(tree, params, q, problem, warm_state)
+
+
+def solve(tree, params: SolverParams, q, problem: IkProblem,
+          warm_state: Optional[SolverState] = None) -> SolveResult:
+    """Solve a batch of constrained differential-IK problems.
+
+    Args:
+      tree: KinematicTree (static topology -> one compilation per topology).
+      params: SolverParams (static).
+      q: (B, nq) or (nq,) joint configurations.
+      problem: IkProblem; leaves either unbatched (shared) or leading-batch.
+      warm_state: previous SolverState to warm start from (the analog of
+        `Reset(warm_start=true)` keeping primal/dual variables across ticks;
+        pass `params.replace(warm_start=True)` for reference-exact behavior).
+
+    Returns a SolveResult with leading-batch arrays.
+    """
+    q = jnp.asarray(q)
+    single = q.ndim == 1
+    if single:
+        q = q[None]
+    res = _solve_jit(tree, params, q, problem, warm_state)
+    return res
