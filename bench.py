@@ -1,0 +1,110 @@
+"""Benchmark: converged diff-IK solves/s/chip (the BASELINE.json metric).
+
+Protocol (mirrors the reference timing harness, tests/loik-loid.cpp:987-1032,
+adapted to the batched regime per BASELINE.md): fix the problem family,
+pre-generate R batches of random configurations, compile once, then time R
+repeated batched cold solves; report throughput counting ONLY converged
+problems, plus p50 per-batch latency.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the driver-set target of 1e5 converged 7-DoF
+solves/s/chip at tol 1e-6 (BASELINE.json:2).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--robot", default="panda_arm")
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=200)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--b3", type=float, default=0.2, help="commanded EE v_z")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from loik_tpu.model import robots
+    from loik_tpu.params import SolverParams
+    from loik_tpu.problem import make_problem
+    from loik_tpu.solver import solve
+
+    dtype = jnp.dtype(args.dtype)
+    tree = robots.get(args.robot, args.dtype)
+    b = np.zeros((1, 6))
+    b[0, 2] = args.b3
+    problem = make_problem(
+        tree,
+        (tree.njoints - 1,),
+        b=b,
+        lb=-4.0 * np.ones(tree.nv),
+        ub=4.0 * np.ones(tree.nv),
+        dtype=dtype,
+    )
+    params = SolverParams(max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol)
+
+    B, R = args.batch, args.reps
+    keys = jax.random.split(jax.random.PRNGKey(0), R + 1)
+    q_batches = [
+        tree.random_configuration(k, (B,)).astype(dtype) for k in keys
+    ]
+
+    # warmup / compile
+    res = solve(tree, params, q_batches[-1], problem)
+    res.nu.block_until_ready()
+
+    lat = []
+    total_converged = 0
+    t_all0 = time.perf_counter()
+    for r in range(R):
+        t0 = time.perf_counter()
+        res = solve(tree, params, q_batches[r], problem)
+        res.converged.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+        total_converged += int(res.converged.sum())
+    t_all = time.perf_counter() - t_all0
+
+    throughput = total_converged / t_all
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+    conv_frac = total_converged / (B * R)
+    target = 1e5  # BASELINE.json: >=1e5 converged 7-DoF solves/s/chip @ tol 1e-6
+
+    if args.verbose:
+        it = np.asarray(res.iterations)[np.asarray(res.converged)]
+        print(
+            f"# B={B} R={R} conv={conv_frac:.3f} p50={p50_ms:.2f}ms/batch "
+            f"iters mean={it.mean():.1f} max={int(np.asarray(res.iterations).max())} "
+            f"backend={jax.devices()[0].platform}",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "converged diff-IK solves/s/chip (%s, tol %g, %s)"
+                % (args.robot, args.tol, args.dtype),
+                "value": round(throughput, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(throughput / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

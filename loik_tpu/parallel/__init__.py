@@ -1,0 +1,15 @@
+from .multistart import solve_multistart
+from .sharding import (
+    convergence_metrics,
+    make_mesh,
+    shard_problem_batch,
+    solve_sharded,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_problem_batch",
+    "solve_sharded",
+    "convergence_metrics",
+    "solve_multistart",
+]

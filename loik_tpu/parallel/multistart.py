@@ -1,0 +1,36 @@
+"""Multi-start global IK: the pod-scale demo workload (BASELINE.json
+configs[4] — "100k random seeds across pod slice feeding sampling-based
+motion planning").
+
+Differential IK is local; global IK restarts it from many random
+configurations and takes the best converged solution.  Here one diff-IK
+solve per seed scores how well the commanded end-effector velocity can be
+realized from that configuration; downstream planners integrate `q + dt nu`.
+The argmin reduction over the sharded seed axis is the only collective."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..params import SolverParams
+from ..problem import IkProblem
+from .sharding import make_mesh, solve_sharded
+
+
+def solve_multistart(tree, params: SolverParams, problem: IkProblem, key,
+                     num_seeds: int, mesh=None):
+    """Solve from `num_seeds` random configurations; return the best seed.
+
+    Returns (best_q, best_nu, best_error, result) where error is the task
+    residual inf-norm of each converged seed (inf for non-converged)."""
+    qs = tree.random_configuration(key, (num_seeds,))
+    if mesh is None:
+        mesh = make_mesh()
+    res = solve_sharded(tree, params, qs, problem, mesh)
+    # task error per seed: max constraint violation at the solution
+    err = jnp.where(res.converged, res.primal_residual, jnp.inf)
+    best = jnp.argmin(err)
+    return qs[best], res.nu[best], err[best], res

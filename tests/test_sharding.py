@@ -1,0 +1,83 @@
+"""Sharded solve on the CPU-simulated 8-device mesh: results must be
+identical to the single-device solve, and the multi-start driver must pick a
+converged seed.  (New surface relative to the reference, which has no
+distributed runtime — SURVEY.md §4 transfer notes.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loik_tpu.model import robots
+from loik_tpu.parallel import (
+    convergence_metrics,
+    make_mesh,
+    solve_multistart,
+    solve_sharded,
+)
+from loik_tpu.params import SolverParams
+from loik_tpu.problem import make_problem
+from loik_tpu.solver import solve
+
+from tests.test_oracle import fixture_problem
+
+PARAMS = SolverParams(max_iter=200, tol_abs=1e-6, tol_rel=1e-6)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_matches_single_device():
+    tree = robots.panda()
+    problem = fixture_problem(tree, b3=0.2)
+    B = 64
+    qs = tree.random_configuration(jax.random.PRNGKey(1), (B,))
+    mesh = make_mesh()
+    res_sh = solve_sharded(tree, PARAMS, qs, problem, mesh)
+    res_ref = solve(tree, PARAMS, qs, problem)
+    np.testing.assert_allclose(np.asarray(res_sh.nu), np.asarray(res_ref.nu), atol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.converged), np.asarray(res_ref.converged)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.iterations), np.asarray(res_ref.iterations)
+    )
+    # output really is sharded over the mesh
+    assert len(res_sh.nu.sharding.device_set) == 8
+
+
+def test_sharded_heterogeneous_problems():
+    """Per-problem targets sharded over devices."""
+    tree = robots.ur5()
+    B = 16
+    b = np.zeros((B, 1, 6))
+    b[:, 0, 2] = np.linspace(0.05, 0.4, B)
+    problem = make_problem(tree, (tree.njoints - 1,)).replace(b=jnp.asarray(b))
+    qs = jnp.broadcast_to(tree.neutral(), (B, tree.nq))
+    res = solve_sharded(tree, PARAMS, qs, problem, make_mesh())
+    assert bool(res.converged.all())
+    # velocities scale with the commanded b
+    vz = np.asarray(res.vis[:, -1, 2])
+    np.testing.assert_allclose(vz, b[:, 0, 2], atol=1e-5)
+
+
+def test_convergence_metrics():
+    tree = robots.ur5()
+    problem = fixture_problem(tree)
+    qs = jnp.broadcast_to(tree.neutral(), (8, tree.nq))
+    res = solve_sharded(tree, PARAMS, qs, problem, make_mesh())
+    m = convergence_metrics(res)
+    assert int(m["num_converged"]) == 8
+    assert float(m["mean_iterations_converged"]) == float(res.iterations[0])
+
+
+def test_multistart_picks_converged_seed():
+    tree = robots.panda()
+    problem = fixture_problem(tree, b3=0.2)
+    q_best, nu_best, err, res = solve_multistart(
+        tree, PARAMS, problem, jax.random.PRNGKey(0), num_seeds=64, mesh=make_mesh()
+    )
+    assert np.isfinite(float(err))
+    assert float(err) < PARAMS.tol_abs * 10
+    assert int(res.converged.sum()) > 0
