@@ -18,8 +18,9 @@ Two solver tiers, mirroring the reference's reference/optimized split
 """
 
 from . import spatial
+from .api import DiffIkSolver
 from .model import KinematicTree, load_urdf, make_tree, robots
-from .problem import IkProblem
+from .problem import IkProblem, make_problem
 from .params import SolverParams
 
 __version__ = "0.1.0"

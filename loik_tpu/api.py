@@ -1,0 +1,137 @@
+"""Object-style solver API mirroring the reference's surface.
+
+`DiffIkSolver` plays the role of `FirstOrderLoikOptimizedTpl`
+(loik-loid-optimized.hpp:22): construct once per (model, params, constraint
+topology), then call `solve`, the split `solve_init` / `resolve` pair, or
+the tailored per-tick `solve_tracking` that updates a single constraint —
+the 1 kHz control-loop path (`Solve(q, c_id, Ai, bi)`,
+loik-loid-optimized.hpp:596-695).  All methods are batched; jit caching is
+keyed by (topology, params, batch shape), the rebuild's analog of the
+allocate-once contract (SURVEY.md §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .params import SolverParams
+from .problem import IkProblem, make_problem
+from .solver import solve
+from .solver.state import SolveResult, SolverState
+
+
+class DiffIkSolver:
+    def __init__(self, tree, params: SolverParams,
+                 constraint_links: Sequence[int],
+                 problem: Optional[IkProblem] = None):
+        self.tree = tree
+        self.params = params
+        self.constraint_links = tuple(int(c) for c in constraint_links)
+        self.problem = problem if problem is not None else make_problem(
+            tree, self.constraint_links
+        )
+        self._state: Optional[SolverState] = None
+        self._q = None
+        self.last_result: Optional[SolveResult] = None
+
+    # ------------------------------------------------------------------ #
+    def update_references(self, H_ref=None, v_ref=None):
+        """UpdateReference(s) (ik-id-description.hpp:76-100)."""
+        if H_ref is not None:
+            self.problem = self.problem.replace(H_ref=jnp.asarray(H_ref))
+        if v_ref is not None:
+            self.problem = self.problem.replace(v_ref=jnp.asarray(v_ref))
+
+    def update_eq_constraints(self, A, b):
+        """UpdateEqConstraints — constraint count/links fixed at construction
+        (AddEqConstraint/RemoveEqConstraint are deactivated in the reference
+        too, ik-id-description.hpp:197-253)."""
+        A, b = jnp.asarray(A), jnp.asarray(b)
+        if A.shape[-3] != len(self.constraint_links):
+            raise ValueError("number of equality constraints cannot change")
+        self.problem = self.problem.replace(A=A, b=b)
+
+    def update_eq_constraint(self, link: int, A=None, b=None):
+        """Single-constraint update by link id (UpdateEqConstraint,
+        ik-id-description-optimized.hpp:178-238)."""
+        if link not in self.constraint_links:
+            raise ValueError(f"no constraint at link {link}")
+        slot = self.constraint_links.index(link)
+        self.problem = self.problem.update_constraint(slot, A=A, b=b)
+
+    def update_ineq_constraints(self, lb, ub):
+        lb, ub = jnp.asarray(lb), jnp.asarray(ub)
+        if lb.shape != ub.shape:
+            raise ValueError("lb/ub shape mismatch")
+        self.problem = self.problem.replace(lb=lb, ub=ub)
+
+    # ------------------------------------------------------------------ #
+    def solve(self, q, problem: Optional[IkProblem] = None) -> SolveResult:
+        """Stand-alone solve (cold unless params.warm_start)."""
+        if problem is not None:
+            self.problem = problem
+        res = solve(self.tree, self.params, q, self.problem,
+                    self._state if self.params.warm_start else None)
+        self._state = res.state
+        self._q = q
+        self.last_result = res
+        return res
+
+    def solve_init(self, q, problem: Optional[IkProblem] = None):
+        """SolveInit/Solve split: freeze FK at q, then `resolve()` re-runs
+        only the main loop (timing harness pattern, loik-loid-optimized.hpp:
+        335-361; equality with the monolithic overload is test-asserted)."""
+        if problem is not None:
+            self.problem = problem
+        self._q = q
+
+    def resolve(self) -> SolveResult:
+        if self._q is None:
+            raise RuntimeError("call solve_init first")
+        res = solve(self.tree, self.params, self._q, self.problem, None)
+        self.last_result = res
+        return res
+
+    def solve_tracking(self, q, link: int, A=None, b=None) -> SolveResult:
+        """Per-tick tracking solve: update ONE constraint target and re-solve,
+        warm-starting duals from the previous tick when params.warm_start
+        (the 1 kHz path, loik-loid-optimized.hpp:596-695)."""
+        self.update_eq_constraint(link, A=A, b=b)
+        res = solve(self.tree, self.params, q, self.problem,
+                    self._state if self.params.warm_start else None)
+        self._state = res.state
+        self.last_result = res
+        return res
+
+    # ------------------------------------------------------------------ #
+    # getter parity (task-solver-base.hpp:87-141)
+    # ------------------------------------------------------------------ #
+    @property
+    def state(self) -> Optional[SolverState]:
+        return self._state
+
+    def get_iter(self):
+        return self.last_result.iterations
+
+    def get_primal_residual(self):
+        return self.last_result.primal_residual
+
+    def get_dual_residual(self):
+        return self.last_result.dual_residual
+
+    def get_convergence_status(self):
+        return self.last_result.converged
+
+    def get_primal_infeasibility_status(self):
+        return self.last_result.primal_infeasible
+
+    def get_dual_infeasibility_status(self):
+        return self.last_result.dual_infeasible
+
+    def reset(self):
+        """Drop warm-start state (Reset, task-solver-base.hpp:73-84)."""
+        self._state = None
+        self.last_result = None

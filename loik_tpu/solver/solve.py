@@ -439,6 +439,16 @@ def _flat_nu(tree, padded):
 
 def _solve_impl(tree, params: SolverParams, q, problem: IkProblem,
                 warm_state: Optional[SolverState]):
+    # On TPU the default matmul precision lowers f32 einsum operands to
+    # bfloat16 on the MXU — ~3 significant digits, which stalls the ADMM
+    # recursion far above tolerance (0/1024 convergence at tol 1e-4 in
+    # testing).  The sweeps are tiny 6x6 contractions; force full f32.
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl_inner(tree, params, q, problem, warm_state)
+
+
+def _solve_impl_inner(tree, params: SolverParams, q, problem: IkProblem,
+                      warm_state: Optional[SolverState]):
     dtype = q.dtype
     B = q.shape[0]
     prob = prepare_problem(tree, problem, B, dtype)

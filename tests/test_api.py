@@ -1,0 +1,100 @@
+"""DiffIkSolver OO API: reference-parity surface (solve / split solve /
+tailored tracking solve / getters) plus a closed-loop trajectory-tracking
+simulation — the usage pattern the tailored overload exists for
+(loik-loid-optimized.hpp:596-695)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loik_tpu.api import DiffIkSolver
+from loik_tpu.model import robots
+from loik_tpu.params import SolverParams
+from loik_tpu.solver import solve
+
+from tests.test_oracle import fixture_problem
+
+PARAMS = SolverParams(max_iter=200, tol_abs=1e-6, tol_rel=1e-6)
+
+
+def test_solver_class_basic():
+    tree = robots.ur5()
+    s = DiffIkSolver(tree, PARAMS, (tree.njoints - 1,))
+    b = np.zeros((1, 6)); b[0, 2] = 0.3
+    s.update_eq_constraints(np.broadcast_to(np.eye(6), (1, 6, 6)), b)
+    s.update_ineq_constraints(-4 * np.ones(6), 4 * np.ones(6))
+    res = s.solve(tree.neutral())
+    assert bool(res.converged[0])
+    assert bool(s.get_convergence_status()[0])
+    assert int(s.get_iter()[0]) == int(res.iterations[0])
+    np.testing.assert_allclose(np.asarray(res.vis[0, -1]), b[0], atol=1e-5)
+
+
+def test_solver_class_matches_functional():
+    tree = robots.ur5()
+    problem = fixture_problem(tree)
+    s = DiffIkSolver(tree, PARAMS, problem.constraint_links, problem)
+    r1 = s.solve(tree.neutral())
+    r2 = solve(tree, PARAMS, tree.neutral(), problem)
+    np.testing.assert_array_equal(np.asarray(r1.nu), np.asarray(r2.nu))
+
+
+def test_split_solve():
+    tree = robots.ur5()
+    problem = fixture_problem(tree)
+    s = DiffIkSolver(tree, PARAMS, problem.constraint_links, problem)
+    s.solve_init(tree.neutral())
+    r1 = s.resolve()
+    r2 = s.resolve()  # FK frozen, repeated resolve must be deterministic
+    np.testing.assert_array_equal(np.asarray(r1.nu), np.asarray(r2.nu))
+
+
+def test_constraint_update_validation():
+    tree = robots.ur5()
+    s = DiffIkSolver(tree, PARAMS, (5,))
+    with pytest.raises(ValueError):
+        s.update_eq_constraint(3, b=np.zeros(6))  # no constraint at link 3
+    with pytest.raises(ValueError):
+        s.update_eq_constraints(np.zeros((2, 6, 6)), np.zeros((2, 6)))  # count change
+
+
+def test_tracking_loop_warm_start():
+    """1 kHz-style loop: follow a sinusoidal EE velocity target over 50 ticks,
+    warm starting each tick.  Warm ticks should converge in far fewer
+    iterations than the cold first tick."""
+    tree = robots.panda_arm()
+    params = PARAMS.replace(warm_start=True)
+    s = DiffIkSolver(tree, params, (tree.njoints - 1,))
+    s.update_ineq_constraints(-4 * np.ones(7), 4 * np.ones(7))
+    q = jnp.asarray(
+        [-2.79684649, -0.55090374, 0.424806, -1.21112304, -0.89856966,
+         0.79726132, -0.07125267]
+    )
+    dt = 1e-3
+    iters = []
+    for t in range(50):
+        b = np.zeros(6)
+        b[2] = 0.1 * np.sin(2 * np.pi * t / 50)
+        b[0] = 0.05 * np.cos(2 * np.pi * t / 50)
+        res = s.solve_tracking(q, tree.njoints - 1, b=jnp.asarray(b))
+        assert bool(res.converged[0]), f"tick {t} diverged"
+        np.testing.assert_allclose(np.asarray(res.vis[0, -1]), b, atol=1e-4)
+        iters.append(int(res.iterations[0]))
+        q = q + dt * res.nu[0]  # integrate
+    # warm ticks converge faster than the cold tick (the target moves every
+    # tick, so duals re-adapt — this is not the 1-iteration resolve case)
+    assert np.mean(iters[1:]) < iters[0]
+    assert np.mean(iters[1:]) <= 8.0, f"warm ticks too slow: {iters}"
+
+
+def test_reset_drops_warm_state():
+    tree = robots.ur5()
+    problem = fixture_problem(tree)
+    s = DiffIkSolver(tree, PARAMS.replace(warm_start=True),
+                     problem.constraint_links, problem)
+    s.solve(tree.neutral())
+    s.reset()
+    assert s.state is None
+    r = s.solve(tree.neutral())  # cold again, must not error
+    assert bool(r.converged[0])
