@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--max-iter", type=int, default=200)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--b3", type=float, default=0.2, help="commanded EE v_z")
+    ap.add_argument("--mode", default="two-stage",
+                    choices=["f32", "f64", "two-stage"],
+                    help="two-stage = f32 bulk + warm f64 refinement (the "
+                         "tol-1e-6 path; f32 alone floors ~1e-5)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -35,14 +39,19 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if args.dtype == "float64":
+    if args.dtype == "float64" or args.mode in ("f64", "two-stage"):
         jax.config.update("jax_enable_x64", True)
+    if args.mode == "f64":
+        args.dtype = "float64"
+    elif args.mode == "f32":
+        args.dtype = "float32"
     import jax.numpy as jnp
 
     from loik_tpu.model import robots
     from loik_tpu.params import SolverParams
     from loik_tpu.problem import make_problem
     from loik_tpu.solver import solve
+    from loik_tpu.solver.refine import solve_two_stage
 
     dtype = jnp.dtype(args.dtype)
     tree = robots.get(args.robot, args.dtype)
@@ -64,8 +73,13 @@ def main():
         tree.random_configuration(k, (B,)).astype(dtype) for k in keys
     ]
 
+    if args.mode == "two-stage":
+        run = lambda q: solve_two_stage(tree, params, q, problem)
+    else:
+        run = lambda q: solve(tree, params, q, problem)
+
     # warmup / compile
-    res = solve(tree, params, q_batches[-1], problem)
+    res = run(q_batches[-1])
     res.nu.block_until_ready()
 
     lat = []
@@ -73,7 +87,7 @@ def main():
     t_all0 = time.perf_counter()
     for r in range(R):
         t0 = time.perf_counter()
-        res = solve(tree, params, q_batches[r], problem)
+        res = run(q_batches[r])
         res.converged.block_until_ready()
         lat.append(time.perf_counter() - t0)
         total_converged += int(res.converged.sum())
@@ -97,7 +111,7 @@ def main():
         json.dumps(
             {
                 "metric": "converged diff-IK solves/s/chip (%s, tol %g, %s)"
-                % (args.robot, args.tol, args.dtype),
+                % (args.robot, args.tol, args.mode),
                 "value": round(throughput, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(throughput / target, 4),

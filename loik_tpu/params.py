@@ -37,7 +37,16 @@ class SolverParams:
     mu_update_strat: MuUpdateStrat = MuUpdateStrat.DEFAULT
     tol_tail_solve: float = 1e-1
     warm_start: bool = False
+    keep_mu_on_warm_start: bool = False  # carry adapted mu across warm solves
+                                         # (reference always resets to mu0,
+                                         # task-solver-base.hpp:82; used by the
+                                         # delta-refinement stage)
     logging: bool = False                 # return per-iteration SolveInfo arrays
+    check_feasibility: bool = True       # run infeasibility certificates; the
+                                         # delta-refinement stage disables them
+                                         # (degenerate in delta space)
+    freeze_infeasible_on_warm_start: bool = False  # keep already-infeasible
+                                         # problems frozen instead of re-solving
 
     def __post_init__(self):
         if self.mu_update_strat != MuUpdateStrat.DEFAULT:

@@ -50,6 +50,99 @@ def _cast_problem(p: IkProblem, dtype) -> IkProblem:
     )
 
 
+def solve_delta_refined(
+    tree,
+    params: SolverParams,
+    q,
+    problem: IkProblem,
+    stage1_tol: float = 2e-5,
+    stage2_max_iter: Optional[int] = None,
+) -> SolveResult:
+    """Pure-f32 tight-tolerance solve via delta-form refinement.
+
+    Stage 1 solves normally in f32 down to the f32 floor.  Stage 2 re-solves
+    for the CORRECTION dx = x - x_hat: substituting v = v_hat + dv shifts the
+    QP to   min 1/2 dx' P dx + (q + P x_hat)' dx
+            s.t. A_c dv = b - A v_hat,  lb - nu_hat <= dnu <= ub - nu_hat,
+    which is the SAME solver on a shifted problem (v_ref -> v_ref - v_hat,
+    b -> b - A v_hat, bounds -> bounds - nu_hat), warm-started at dx = 0 with
+    the stage-1 duals (the delta problem's optimal duals equal the original
+    ones).  In delta space the residual-critical quantities are O(1e-5), so
+    the mu_eq-amplified operators multiply SMALL vectors and absolute
+    rounding errors fall to ~eps_f32 * O(1) ~ 1e-7 — below tol 1e-6 —
+    without any f64 (valuable on TPU, where f64 is emulated).
+
+    Returns results in the ORIGINAL problem space (nu = nu_hat + dnu, true
+    residuals — the delta-space task residual A dv - b_delta IS the original
+    A v - b, computed accurately in the small-number space).
+    """
+    f32 = jnp.float32
+    tree32 = tree.astype(f32)
+    q32 = jnp.asarray(q, f32)
+    prob32 = _cast_problem(problem, f32)
+    tol1 = max(stage1_tol, params.tol_abs)
+    p1 = params.replace(tol_abs=tol1, tol_rel=max(stage1_tol, params.tol_rel))
+    res1 = solve(tree32, p1, q32, prob32)
+    st1 = res1.state
+
+    # ---- build the shifted (delta) problem ------------------------------
+    # v_hat per link in trailing layout lives in st1.vis (N,6,B);
+    # problem leaves are (core..., ) or (B, core...) — shift in batch-leading
+    # layout for clarity.
+    v_hat = jnp.moveaxis(st1.vis, -1, 0)            # (B,N,6)
+    nu_hat = res1.nu                                 # (B,nv)
+    B = v_hat.shape[0]
+
+    def lead(x, core_ndim):
+        x = jnp.asarray(x, f32)
+        if x.ndim == core_ndim:
+            return jnp.broadcast_to(x, (B,) + x.shape)
+        return x
+
+    v_ref_d = lead(prob32.v_ref, 2) - v_hat
+    A_l = lead(prob32.A, 3)                          # (B,NC,6,6)
+    cl = problem.constraint_links
+    Av_hat = jnp.einsum("bcij,bcj->bci", A_l, v_hat[:, jnp.asarray(cl), :])
+    b_d = lead(prob32.b, 2) - Av_hat
+    lb_d = lead(prob32.lb, 1) - nu_hat
+    ub_d = lead(prob32.ub, 1) - nu_hat
+    prob_d = IkProblem(
+        H_ref=lead(prob32.H_ref, 3), v_ref=v_ref_d, A=A_l, b=b_d,
+        lb=lb_d, ub=ub_d, constraint_links=cl,
+    )
+
+    # ---- warm-start state at dx = 0 with stage-1 duals ------------------
+    z_d = st1.z - st1.nu        # padded layouts subtract cleanly
+    warm = dataclasses.replace(
+        st1,
+        vis=jnp.zeros_like(st1.vis),
+        nu=jnp.zeros_like(st1.nu),
+        z=z_d,
+        # duals carry over: yis, Aty, w, fis, fdpa, stfw as-is
+    )
+    p2 = params.replace(
+        warm_start=True,
+        keep_mu_on_warm_start=True,
+        check_feasibility=False,          # certificates are degenerate in
+                                          # delta space (b_d ~ 0 makes the
+                                          # bound term of cond2 vanish)
+        freeze_infeasible_on_warm_start=True,
+        max_iter=stage2_max_iter or max(60, params.max_iter // 2),
+    )
+    res2 = solve(tree32, p2, q32, prob_d, warm)
+
+    # ---- recombine ------------------------------------------------------
+    st2 = res2.state
+    vis_full = jnp.moveaxis(st2.vis, -1, 0) + v_hat
+    return dataclasses.replace(
+        res2,
+        nu=res2.nu + nu_hat,
+        z=res2.z + nu_hat,
+        vis=vis_full,
+        iterations=res1.iterations + res2.iterations,
+    )
+
+
 def solve_two_stage(
     tree,
     params: SolverParams,

@@ -323,7 +323,10 @@ def _solve_loop(tree, prob: PreparedProblem, params: SolverParams, st: SolverSta
             & (new["primal_residual"] < checks["tol_primal"])
             & (new["dual_residual"] < checks["tol_dual"])
         )
-        pinf_now = normal & ~conv_now & (i > 1) & checks["primal_infeasible_now"]
+        if params.check_feasibility:
+            pinf_now = normal & ~conv_now & (i > 1) & checks["primal_infeasible_now"]
+        else:
+            pinf_now = jnp.zeros_like(normal)
         in_tail_next = st.in_tail | pinf_now
 
         # tail-mode termination: iterates stopped moving
@@ -341,6 +344,9 @@ def _solve_loop(tree, prob: PreparedProblem, params: SolverParams, st: SolverSta
         mu_next = jnp.where(
             rp > 10.0 * rd, st.mu * 10.0, jnp.where(rd > 10.0 * rp, st.mu * 0.1, st.mu)
         )
+        # clamp: repeated x0.1 under a residual floor underflows f32 to zero
+        # (then w / mu_ineq = inf); the reference never hits this in double
+        mu_next = jnp.clip(mu_next, 1e-12, 1e12)
         mu_next = jnp.where(do_mu, mu_next, st.mu)
         mu_eq_next = jnp.where(do_mu, params.mu_equality_scale_factor * mu_next, st.mu_eq)
         mu_ineq_next = jnp.where(do_mu, mu_next, st.mu_ineq)
@@ -390,7 +396,16 @@ def _reset_state(tree, params: SolverParams, st: SolverState, dtype) -> SolverSt
     """ResetSolver + conditional warm-start wipe
     (loik-loid-optimized.hpp:168-186, loik-loid-data-optimized.hxx:114-127)."""
     B = st.mu.shape[0]
-    mu0 = jnp.full((B,), params.mu, dtype)
+    if params.warm_start and params.keep_mu_on_warm_start:
+        mu0 = st.mu.astype(dtype)
+    else:
+        mu0 = jnp.full((B,), params.mu, dtype)
+    if params.warm_start and params.freeze_infeasible_on_warm_start:
+        keep_pinf = st.primal_infeasible
+        running0 = ~st.primal_infeasible
+    else:
+        keep_pinf = jnp.zeros((B,), bool)
+        running0 = jnp.ones((B,), bool)
     upd = dict(
         mu=mu0,
         mu_eq=params.mu_equality_scale_factor * mu0,
@@ -398,10 +413,10 @@ def _reset_state(tree, params: SolverParams, st: SolverState, dtype) -> SolverSt
         iterations=jnp.zeros((B,), jnp.int32),
         tail_iterations=jnp.zeros((B,), jnp.int32),
         converged=jnp.zeros((B,), bool),
-        primal_infeasible=jnp.zeros((B,), bool),
+        primal_infeasible=keep_pinf,
         dual_infeasible=jnp.zeros((B,), bool),
         in_tail=jnp.zeros((B,), bool),
-        running=jnp.ones((B,), bool),
+        running=running0,
         primal_residual=jnp.full((B,), jnp.inf, dtype),
         dual_residual=jnp.full((B,), jnp.inf, dtype),
         delta_x_inf=jnp.zeros((B,), dtype),
