@@ -1,0 +1,228 @@
+"""Fused Pallas solve kernel: the entire masked ADMM while-loop on-chip.
+
+The XLA path dispatches a few hundred small HLO ops per iteration; at small
+batch sizes per-op overhead dominates (measured ~0.6 ms/iteration at B=1024
+on v5e vs ~15 us of VPU work).  This kernel runs the WHOLE solve loop for a
+tile of problems inside one `pallas_call`: state lives in VMEM/registers for
+the entire solve, nothing round-trips to HBM between iterations — the
+SURVEY.md §7 step-6 plan (fuse FwdPass1 + BwdPass + FwdPass2 + BoxProj +
+DualUpdate per iteration) taken to its limit.
+
+Crucially the kernel body REUSES `solve._solve_loop` — the exact same
+iteration/flag/penalty code as the XLA path — applied to values read from
+kernel refs.  One source of truth for the math; Mosaic simply compiles it
+fused.  Correctness therefore reduces to the existing oracle parity suite
+plus the kernel-vs-XLA equivalence tests.
+
+Grid: 1-D over batch tiles (the trailing lane axis).  Constraints of the
+fused path (fall back to `solver.solve` otherwise):
+  - no per-iteration logging (params.logging=False)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import SolverParams
+from ..problem import IkProblem
+from ..solver import solve as _solve_pkg_function  # noqa: F401 (api parity)
+from ..solver import solve
+from ..solver.solve import (_flat_nu, _reset_state, _solve_loop, fwd_pass_init,
+                            prepare_problem)
+from ..solver.state import PreparedProblem, SolverState, SolveResult
+
+# state fields that the kernel carries (everything except liMi/log arrays)
+_STATE_FIELDS = (
+    "vis", "fis", "nu", "z", "w", "yis", "Aty", "fdpa", "stfw",
+    "mu", "mu_eq", "mu_ineq", "iterations", "tail_iterations",
+    "converged", "primal_infeasible", "dual_infeasible", "in_tail",
+    "running", "primal_residual", "dual_residual", "delta_x_inf",
+    "delta_z_inf",
+)
+_PROB_FIELDS = ("H_ref", "Hv", "A", "b", "AtA", "Atb", "lb", "ub", "b_inf", "Hv_inf")
+_BOOL_FIELDS = {
+    "converged", "primal_infeasible", "dual_infeasible", "in_tail", "running"
+}
+_INT_FIELDS = {"iterations", "tail_iterations"}
+
+
+def _tile_spec(shape, bt):
+    """BlockSpec tiling only the trailing batch axis."""
+    from jax.experimental import pallas as pl
+
+    block = shape[:-1] + (bt,)
+    nlead = len(shape) - 1
+    return pl.BlockSpec(block, lambda i, n=nlead: (0,) * n + (i,))
+
+
+def _kernel(tree, params, constraint_links, n_state, n_prob, *refs):
+    """Kernel body: rebuild state/problem from refs, run the shared solve
+    loop, write results back.  `tree` here carries only STATIC topology; its
+    array leaves (the joint axes, which joint_S derives S from) arrive via
+    refs — kernels cannot capture array constants."""
+    state_in = refs[:n_state]
+    prob_in = refs[n_state : n_state + n_prob]
+    liMi_R_ref, liMi_p_ref, axis_ref = refs[n_state + n_prob : n_state + n_prob + 3]
+    outs = refs[n_state + n_prob + 3 :]
+    N = tree.njoints
+    z3 = jnp.zeros((N, 3, 3), axis_ref.dtype)
+    tree = dataclasses.replace(
+        tree,
+        placement_R=z3,
+        placement_p=z3[:, 0],
+        axis=axis_ref[:],
+        velocity_limit=jnp.zeros((tree.nv,), axis_ref.dtype),
+    )
+
+    vals = {}
+    for name, ref in zip(_STATE_FIELDS, state_in):
+        v = ref[:]
+        if name in _BOOL_FIELDS:
+            v = v[0] != 0          # (1,BT) i32 -> (BT,) bool
+        elif name in _INT_FIELDS:
+            v = v[0]
+        elif v.shape[0] == 1 and name in (
+            "mu", "mu_eq", "mu_ineq", "primal_residual", "dual_residual",
+            "delta_x_inf", "delta_z_inf",
+        ):
+            v = v[0]
+        vals[name] = v
+    pvals = {name: ref[:] for name, ref in zip(_PROB_FIELDS, prob_in)}
+    pvals["b_inf"] = pvals["b_inf"][0]
+    pvals["Hv_inf"] = pvals["Hv_inf"][0]
+
+    st = SolverState(
+        liMi_R=liMi_R_ref[:],
+        liMi_p=liMi_p_ref[:],
+        it=jnp.zeros((), jnp.int32),
+        log_rp=None, log_rd=None, log_mu=None,
+        **vals,
+    )
+    prob = PreparedProblem(constraint_links=constraint_links, **pvals)
+
+    st = _solve_loop(tree, prob, params, st)
+
+    for name, ref in zip(_STATE_FIELDS, outs):
+        v = getattr(st, name)
+        if name in _BOOL_FIELDS:
+            v = v.astype(jnp.int32)[None]
+        elif name in _INT_FIELDS:
+            v = v[None]
+        elif v.ndim == 1:
+            v = v[None]
+        ref[:] = v
+
+
+def fused_solve_loop(tree, params: SolverParams, prob: PreparedProblem,
+                     st: SolverState, batch_tile: int = 256,
+                     interpret: bool = False) -> SolverState:
+    """Run `_solve_loop` as one fused Pallas kernel over batch tiles.
+
+    Takes/returns the same trailing-batch state as the XLA loop."""
+    from jax.experimental import pallas as pl
+
+    if params.logging:
+        raise ValueError("fused path does not support logging")
+    B = st.vis.shape[-1]
+    bt = min(batch_tile, B)
+    if B % bt:
+        raise ValueError(f"batch {B} not divisible by tile {bt}")
+    grid = (B // bt,)
+    dtype = st.vis.dtype
+
+    def enc(name, v):
+        if name in _BOOL_FIELDS:
+            return v.astype(jnp.int32)[None]
+        if name in _INT_FIELDS:
+            return v[None]
+        if v.ndim == 1:
+            return v[None]
+        return v
+
+    state_arrays = [enc(n, getattr(st, n)) for n in _STATE_FIELDS]
+    prob_arrays = [
+        getattr(prob, n)[None] if getattr(prob, n).ndim == 1 else getattr(prob, n)
+        for n in _PROB_FIELDS
+    ]
+    axis = tree.axis.astype(dtype)
+    inputs = state_arrays + prob_arrays + [st.liMi_R, st.liMi_p, axis]
+
+    from jax.experimental import pallas as pl  # noqa: F811
+    in_specs = [_tile_spec(a.shape, bt) for a in inputs[:-1]]
+    # the axis array has no batch dim: replicate the full array to every tile
+    in_specs.append(pl.BlockSpec(axis.shape, lambda i: (0, 0)))
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in state_arrays]
+    out_specs = [_tile_spec(a.shape, bt) for a in state_arrays]
+
+    kern = functools.partial(
+        _kernel, tree, params, prob.constraint_links,
+        len(state_arrays), len(prob_arrays),
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*inputs)
+
+    def dec(name, v):
+        if name in _BOOL_FIELDS:
+            return v[0] != 0
+        if name in _INT_FIELDS:
+            return v[0]
+        if v.shape[0] == 1 and getattr(st, name).ndim == 1:
+            return v[0]
+        return v
+
+    upd = {n: dec(n, v) for n, v in zip(_STATE_FIELDS, outs)}
+    return dataclasses.replace(st, it=jnp.zeros((), jnp.int32), **upd)
+
+
+def solve_fused(tree, params: SolverParams, q, problem: IkProblem,
+                warm_state: Optional[SolverState] = None,
+                batch_tile: int = 256, interpret: bool = False) -> SolveResult:
+    """Drop-in variant of `solver.solve` running the fused kernel."""
+    q = jnp.asarray(q)
+    if q.ndim == 1:
+        q = q[None]
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _run(params, q, problem, warm_state):
+        with jax.default_matmul_precision("highest"):
+            dtype = q.dtype
+            B = q.shape[0]
+            prob = prepare_problem(tree, problem, B, dtype)
+            if warm_state is None:
+                from ..solver.state import init_state
+
+                st = init_state(tree, B, problem.num_constraints, dtype)
+            else:
+                st = warm_state
+            st = _reset_state(tree, params, st, dtype)
+            liMi_R, liMi_p = fwd_pass_init(tree, q)
+            st = dataclasses.replace(st, liMi_R=liMi_R, liMi_p=liMi_p)
+            st = fused_solve_loop(tree, params, prob, st, batch_tile, interpret)
+            vis_out = jnp.moveaxis(st.vis, -1, 0)
+            return SolveResult(
+                nu=_flat_nu(tree, st.nu),
+                z=_flat_nu(tree, st.z),
+                vis=vis_out,
+                converged=st.converged,
+                primal_infeasible=st.primal_infeasible,
+                dual_infeasible=st.dual_infeasible,
+                iterations=st.iterations,
+                tail_iterations=st.tail_iterations,
+                primal_residual=st.primal_residual,
+                dual_residual=st.dual_residual,
+                state=st,
+            )
+
+    return _run(params, q, problem, warm_state)
