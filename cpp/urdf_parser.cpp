@@ -1,0 +1,385 @@
+// Native URDF parser + kinematic-topology preprocessor.
+//
+// The reference delegates model building to Pinocchio's C++ URDF pipeline
+// (tests/loik-loid.cpp:111 `pinocchio::urdf::buildModel`).  This is the
+// rebuild's native equivalent: a dependency-free C++17 parser that turns a
+// URDF document into the flat arrays KinematicTree consumes (parents, joint
+// types, axes, origins, velocity limits), with fixed-joint merging and
+// topological ordering done natively.  Exposed C ABI, consumed from Python
+// via ctypes (loik_tpu/model/native.py) — no pybind11 required.
+//
+// Scope: the URDF subset the Python parser supports (revolute / continuous /
+// prismatic / floating / fixed; origins, axes, velocity limits).  Both
+// parsers are cross-tested against each other in tests/test_native.py.
+
+#include <cctype>
+#include <cmath>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+  double x = 0, y = 0, z = 0;
+};
+
+struct Mat3 {
+  double m[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+};
+
+Mat3 matmul(const Mat3& a, const Mat3& b) {
+  Mat3 r;
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      double s = 0;
+      for (int k = 0; k < 3; k++) s += a.m[3 * i + k] * b.m[3 * k + j];
+      r.m[3 * i + j] = s;
+    }
+  return r;
+}
+
+Vec3 matvec(const Mat3& a, const Vec3& v) {
+  return {a.m[0] * v.x + a.m[1] * v.y + a.m[2] * v.z,
+          a.m[3] * v.x + a.m[4] * v.y + a.m[5] * v.z,
+          a.m[6] * v.x + a.m[7] * v.y + a.m[8] * v.z};
+}
+
+// URDF rpy: R = Rz(yaw) Ry(pitch) Rx(roll)
+Mat3 rpy_to_mat(double r, double p, double y) {
+  double cr = std::cos(r), sr = std::sin(r);
+  double cp = std::cos(p), sp = std::sin(p);
+  double cy = std::cos(y), sy = std::sin(y);
+  Mat3 R;
+  R.m[0] = cy * cp;
+  R.m[1] = cy * sp * sr - sy * cr;
+  R.m[2] = cy * sp * cr + sy * sr;
+  R.m[3] = sy * cp;
+  R.m[4] = sy * sp * sr + cy * cr;
+  R.m[5] = sy * sp * cr - cy * sr;
+  R.m[6] = -sp;
+  R.m[7] = cp * sr;
+  R.m[8] = cp * cr;
+  return R;
+}
+
+// ---------------------------------------------------------------------------
+// minimal XML scanner (elements + attributes; enough for URDF)
+// ---------------------------------------------------------------------------
+
+struct XmlNode {
+  std::string tag;
+  std::map<std::string, std::string> attrs;
+  std::vector<XmlNode> children;
+};
+
+struct XmlParser {
+  const char* p;
+  const char* end;
+  bool ok = true;
+
+  explicit XmlParser(const std::string& s) : p(s.data()), end(s.data() + s.size()) {}
+
+  void skip_ws() {
+    while (p < end && std::isspace(static_cast<unsigned char>(*p))) p++;
+  }
+
+  void skip_misc() {
+    // skip text, comments, PIs, doctype between elements
+    for (;;) {
+      skip_ws();
+      if (p + 3 < end && p[0] == '<' && p[1] == '!' && p[2] == '-' && p[3] == '-') {
+        const char* c = std::strstr(p + 4, "-->");
+        if (!c) { ok = false; return; }
+        p = c + 3;
+      } else if (p < end && p[0] == '<' && (p + 1 < end) && (p[1] == '?' || p[1] == '!')) {
+        while (p < end && *p != '>') p++;
+        if (p < end) p++;
+      } else if (p < end && *p != '<') {
+        while (p < end && *p != '<') p++;
+      } else {
+        return;
+      }
+    }
+  }
+
+  std::string read_name() {
+    std::string out;
+    while (p < end && (std::isalnum(static_cast<unsigned char>(*p)) || *p == '_' ||
+                       *p == '-' || *p == ':' || *p == '.'))
+      out.push_back(*p++);
+    return out;
+  }
+
+  bool parse_element(XmlNode& node) {
+    skip_misc();
+    if (p >= end || *p != '<') return false;
+    p++;  // '<'
+    node.tag = read_name();
+    if (node.tag.empty()) { ok = false; return false; }
+    // attributes
+    for (;;) {
+      skip_ws();
+      if (p < end && *p == '/') {
+        p++;
+        if (p < end && *p == '>') { p++; return true; }  // self-closing
+        ok = false; return false;
+      }
+      if (p < end && *p == '>') { p++; break; }
+      std::string key = read_name();
+      skip_ws();
+      if (p >= end || *p != '=') { ok = false; return false; }
+      p++;
+      skip_ws();
+      if (p >= end || (*p != '"' && *p != '\'')) { ok = false; return false; }
+      char quote = *p++;
+      std::string val;
+      while (p < end && *p != quote) val.push_back(*p++);
+      if (p < end) p++;
+      node.attrs[key] = val;
+    }
+    // children until close tag
+    for (;;) {
+      skip_misc();
+      if (p + 1 < end && p[0] == '<' && p[1] == '/') {
+        p += 2;
+        read_name();
+        skip_ws();
+        if (p < end && *p == '>') p++;
+        return true;
+      }
+      XmlNode child;
+      if (!parse_element(child)) { return ok; }
+      node.children.push_back(std::move(child));
+    }
+  }
+};
+
+void parse_doubles(const std::string& s, double* out, int n) {
+  const char* c = s.c_str();
+  for (int i = 0; i < n; i++) {
+    char* next = nullptr;
+    out[i] = std::strtod(c, &next);
+    c = next;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// URDF -> flat arrays
+// ---------------------------------------------------------------------------
+
+struct JointOut {
+  int parent;        // moving-joint parent index, -1 = world
+  int jtype;         // 0 rev, 1 prism, 2 free-flyer
+  Mat3 R;            // accumulated placement rotation
+  Vec3 p;            // accumulated placement translation
+  Vec3 axis;
+  double vel_limit;
+  std::string name;
+};
+
+struct ParseResult {
+  std::vector<JointOut> joints;
+  std::string names;  // '\n'-joined
+  std::string error;
+};
+
+ParseResult parse_urdf(const std::string& xml, int floating_base) {
+  ParseResult res;
+  XmlParser parser(xml);
+  XmlNode root;
+  if (!parser.parse_element(root) || root.tag != "robot") {
+    res.error = "failed to parse <robot> root element";
+    return res;
+  }
+
+  struct JDef {
+    std::string name, type, parent_link, child_link;
+    Mat3 R;
+    Vec3 p;
+    Vec3 axis{0, 0, 1};
+    double vel_limit = 1e30;
+  };
+  std::vector<std::string> links;
+  std::vector<JDef> jdefs;
+  for (const auto& c : root.children) {
+    if (c.tag == "link") {
+      auto it = c.attrs.find("name");
+      if (it != c.attrs.end()) links.push_back(it->second);
+    } else if (c.tag == "joint") {
+      JDef j;
+      auto a = c.attrs.find("name");
+      j.name = a != c.attrs.end() ? a->second : "";
+      a = c.attrs.find("type");
+      j.type = a != c.attrs.end() ? a->second : "";
+      for (const auto& ch : c.children) {
+        if (ch.tag == "parent") {
+          auto it = ch.attrs.find("link");
+          if (it != ch.attrs.end()) j.parent_link = it->second;
+        } else if (ch.tag == "child") {
+          auto it = ch.attrs.find("link");
+          if (it != ch.attrs.end()) j.child_link = it->second;
+        } else if (ch.tag == "origin") {
+          auto it = ch.attrs.find("xyz");
+          if (it != ch.attrs.end()) {
+            double v[3];
+            parse_doubles(it->second, v, 3);
+            j.p = {v[0], v[1], v[2]};
+          }
+          it = ch.attrs.find("rpy");
+          if (it != ch.attrs.end()) {
+            double v[3];
+            parse_doubles(it->second, v, 3);
+            j.R = rpy_to_mat(v[0], v[1], v[2]);
+          }
+        } else if (ch.tag == "axis") {
+          auto it = ch.attrs.find("xyz");
+          if (it != ch.attrs.end()) {
+            double v[3];
+            parse_doubles(it->second, v, 3);
+            double n = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
+            if (n > 0) j.axis = {v[0] / n, v[1] / n, v[2] / n};
+          }
+        } else if (ch.tag == "limit") {
+          auto it = ch.attrs.find("velocity");
+          if (it != ch.attrs.end()) j.vel_limit = std::strtod(it->second.c_str(), nullptr);
+        }
+      }
+      jdefs.push_back(std::move(j));
+    }
+  }
+
+  // root link: never a child
+  std::map<std::string, int> is_child;
+  for (const auto& j : jdefs) is_child[j.child_link] = 1;
+  std::string root_link;
+  int nroots = 0;
+  for (const auto& l : links)
+    if (!is_child.count(l)) {
+      root_link = l;
+      nroots++;
+    }
+  if (nroots != 1) {
+    res.error = "expected a single root link, found " + std::to_string(nroots);
+    return res;
+  }
+
+  std::map<std::string, std::vector<int>> children_of_link;
+  for (size_t i = 0; i < jdefs.size(); i++)
+    children_of_link[jdefs[i].parent_link].push_back(static_cast<int>(i));
+  // stable order by name, matching the Python loader's sorted() traversal
+  for (auto& kv : children_of_link) {
+    auto& v = kv.second;
+    for (size_t i = 1; i < v.size(); i++)
+      for (size_t k = i; k > 0 && jdefs[v[k - 1]].name > jdefs[v[k]].name; k--)
+        std::swap(v[k - 1], v[k]);
+  }
+
+  struct StackItem {
+    std::string link;
+    int parent_idx;
+    Mat3 accR;
+    Vec3 accp;
+  };
+  std::vector<StackItem> stack;
+  if (floating_base) {
+    JointOut ff;
+    ff.parent = -1;
+    ff.jtype = 2;
+    ff.axis = {0, 0, 1};
+    ff.vel_limit = 1e30;
+    ff.name = "root_joint";
+    res.joints.push_back(ff);
+    stack.push_back({root_link, 0, Mat3{}, Vec3{}});
+  } else {
+    stack.push_back({root_link, -1, Mat3{}, Vec3{}});
+  }
+
+  while (!stack.empty()) {
+    StackItem item = stack.back();
+    stack.pop_back();
+    auto it = children_of_link.find(item.link);
+    if (it == children_of_link.end()) continue;
+    // indices are assigned at discovery in sorted-sibling order, matching
+    // the Python loader (which appends during its sorted() iteration)
+    for (auto cit = it->second.begin(); cit != it->second.end(); ++cit) {
+      const JDef& j = jdefs[*cit];
+      Mat3 R = matmul(item.accR, j.R);
+      Vec3 p{item.accp.x + matvec(item.accR, j.p).x,
+             item.accp.y + matvec(item.accR, j.p).y,
+             item.accp.z + matvec(item.accR, j.p).z};
+      if (j.type == "fixed") {
+        stack.push_back({j.child_link, item.parent_idx, R, p});
+        continue;
+      }
+      int jtype;
+      if (j.type == "revolute" || j.type == "continuous") jtype = 0;
+      else if (j.type == "prismatic") jtype = 1;
+      else if (j.type == "floating") jtype = 2;
+      else {
+        res.error = "unsupported joint type " + j.type;
+        res.joints.clear();
+        return res;
+      }
+      JointOut out;
+      out.parent = item.parent_idx;
+      out.jtype = jtype;
+      out.R = R;
+      out.p = p;
+      out.axis = j.axis;
+      out.vel_limit = j.vel_limit;
+      out.name = j.name;
+      int idx = static_cast<int>(res.joints.size());
+      res.joints.push_back(out);
+      stack.push_back({j.child_link, idx, Mat3{}, Vec3{}});
+    }
+  }
+  for (const auto& j : res.joints) {
+    res.names += j.name;
+    res.names += '\n';
+  }
+  return res;
+}
+
+thread_local ParseResult g_result;
+
+}  // namespace
+
+extern "C" {
+
+// Parse URDF text.  Returns number of moving joints, 0 on error (see
+// loik_urdf_error).  Results are stored thread-locally; fetch with
+// loik_urdf_get before the next parse on the same thread.
+int loik_urdf_parse(const char* xml, int floating_base) {
+  g_result = parse_urdf(xml, floating_base);
+  return static_cast<int>(g_result.joints.size());
+}
+
+const char* loik_urdf_error() { return g_result.error.c_str(); }
+
+// Fill caller-allocated arrays: parents (N i32), jtypes (N i32),
+// placement_R (N*9 f64, row-major), placement_p (N*3), axis (N*3),
+// vel_limit (N).  Returns 0 on success.
+int loik_urdf_get(int* parents, int* jtypes, double* placement_R,
+                  double* placement_p, double* axis, double* vel_limit) {
+  const auto& js = g_result.joints;
+  for (size_t i = 0; i < js.size(); i++) {
+    parents[i] = js[i].parent;
+    jtypes[i] = js[i].jtype;
+    std::memcpy(placement_R + 9 * i, js[i].R.m, 9 * sizeof(double));
+    placement_p[3 * i] = js[i].p.x;
+    placement_p[3 * i + 1] = js[i].p.y;
+    placement_p[3 * i + 2] = js[i].p.z;
+    axis[3 * i] = js[i].axis.x;
+    axis[3 * i + 1] = js[i].axis.y;
+    axis[3 * i + 2] = js[i].axis.z;
+    vel_limit[i] = js[i].vel_limit;
+  }
+  return 0;
+}
+
+// Joint names as a '\n'-joined buffer.
+const char* loik_urdf_names() { return g_result.names.c_str(); }
+
+}  // extern "C"

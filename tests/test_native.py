@@ -1,0 +1,67 @@
+"""Native C++ URDF parser vs the pure-Python loader: identical trees."""
+
+import numpy as np
+import pytest
+
+from loik_tpu.model import load_urdf
+from loik_tpu.model.native import load_urdf_native, native_available
+from loik_tpu.model.robots import _ASSETS
+import os
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+PANDA = os.path.join(_ASSETS, "panda.urdf")
+
+
+def test_native_matches_python_panda():
+    t_py = load_urdf(PANDA)
+    t_cc = load_urdf_native(PANDA)
+    assert t_cc.parents == t_py.parents
+    assert t_cc.jtypes == t_py.jtypes
+    assert t_cc.joint_names == t_py.joint_names
+    np.testing.assert_allclose(
+        np.asarray(t_cc.placement_R), np.asarray(t_py.placement_R), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_cc.placement_p), np.asarray(t_py.placement_p), atol=1e-14
+    )
+    np.testing.assert_allclose(np.asarray(t_cc.axis), np.asarray(t_py.axis), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(t_cc.velocity_limit), np.asarray(t_py.velocity_limit)
+    )
+
+
+def test_native_floating_base():
+    t_py = load_urdf(PANDA, floating_base=True)
+    t_cc = load_urdf_native(PANDA, floating_base=True)
+    assert t_cc.parents == t_py.parents
+    assert t_cc.jtypes == t_py.jtypes
+
+
+def test_native_error_reporting():
+    with pytest.raises(ValueError, match="native URDF parse failed"):
+        load_urdf_native(
+            '<robot name="x"><link name="a"/><link name="b"/>'
+            '<joint name="j" type="planar"><parent link="a"/>'
+            '<child link="b"/></joint></robot>'
+        )
+    with pytest.raises(ValueError, match="root"):
+        load_urdf_native(
+            '<robot name="x"><link name="a"/><link name="b"/><link name="c"/>'
+            '<joint name="j" type="revolute"><parent link="a"/>'
+            '<child link="b"/></joint></robot>'
+        )
+
+
+def test_native_fk_equivalence():
+    """End to end: FK through a natively-parsed tree matches."""
+    import jax
+
+    t_py = load_urdf(PANDA)
+    t_cc = load_urdf_native(PANDA)
+    q = t_py.random_configuration(jax.random.PRNGKey(0))
+    _, _, _, op_py = t_py.fwd_kinematics(q)
+    _, _, _, op_cc = t_cc.fwd_kinematics(q)
+    np.testing.assert_allclose(np.asarray(op_cc), np.asarray(op_py), atol=1e-13)
