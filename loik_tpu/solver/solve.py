@@ -128,13 +128,15 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     r = st.w - mu_ineq * st.z                      # (N,K,B)
     H = params.rho * eye6 + prob.H_ref             # (N,6,6,B)
     p = -params.rho * st.vis - prob.Hv             # vis == vis_prev at entry
-    for k, c in enumerate(c_links):
-        H = H.at[c].add(mu_eq * prob.AtA[k])
-        p = p.at[c].add(st.Aty[k] - mu_eq * prob.Atb[k])
 
-    # unstack to per-joint SSA values for the sweeps
+    # unstack to per-joint SSA values for the sweeps; constrained joints get
+    # their mu_eq terms added on the unstacked values (no scatter — keeps the
+    # whole pass SSA, which both XLA and the Mosaic kernel lowering need)
     H_list = [H[i] for i in range(N)]
     p_list = [p[i] for i in range(N)]
+    for k, c in enumerate(c_links):
+        H_list[c] = H_list[c] + mu_eq * prob.AtA[k]
+        p_list[c] = p_list[c] + st.Aty[k] - mu_eq * prob.Atb[k]
     lR = [st.liMi_R[i] for i in range(N)]
     lp = [st.liMi_p[i] for i in range(N)]
 
