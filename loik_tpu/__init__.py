@@ -20,7 +20,10 @@ Two solver tiers, mirroring the reference's reference/optimized split
 from . import spatial
 from .api import DiffIkSolver
 from .model import KinematicTree, load_urdf, make_tree, robots
+from .params import MuUpdateStrat, SolverParams
 from .problem import IkProblem, make_problem
-from .params import SolverParams
+from .solver import solve
+from .solver.refine import solve_delta_refined, solve_two_stage
+from .solver.state import SolveResult, SolverState
 
 __version__ = "0.1.0"
