@@ -1,0 +1,60 @@
+"""Programmatic tree builders: serial chains and random trees for testing.
+
+`random_tree` plays the role of `pinocchio::buildModels::humanoidRandom` in
+the reference data tests (tests/loik-loid-data.cpp:24-44): arbitrary
+topology + mixed joint types for fuzzing the solver against the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .tree import FREE_FLYER, PRISMATIC, REVOLUTE, KinematicTree, make_tree
+
+
+def serial_chain(n: int, jtype: int = REVOLUTE, link_length: float = 0.3,
+                 axis=(0, 0, 1), name: str = "chain") -> KinematicTree:
+    joints = []
+    for i in range(n):
+        joints.append(
+            dict(
+                name=f"j{i}",
+                parent=i - 1,
+                type=jtype,
+                xyz=(link_length, 0.0, 0.0) if i > 0 else (0.0, 0.0, 0.0),
+                axis=axis,
+                velocity_limit=4.0,
+            )
+        )
+    return make_tree(joints, name=name)
+
+
+def random_tree(rng: np.random.Generator, n_joints: int,
+                floating_base: bool = False,
+                allow_prismatic: bool = True, name: str = "random") -> KinematicTree:
+    """Random topology (each joint's parent drawn from earlier joints),
+    random placements and axes, mixed revolute/prismatic joints."""
+    joints = []
+    start = 0
+    if floating_base:
+        joints.append(dict(name="root", parent=-1, type=FREE_FLYER))
+        start = 1
+    for i in range(start, n_joints):
+        parent = -1 if i == 0 else int(rng.integers(0, i))
+        t = REVOLUTE
+        if allow_prismatic and rng.random() < 0.25:
+            t = PRISMATIC
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        joints.append(
+            dict(
+                name=f"j{i}",
+                parent=parent,
+                type=t,
+                xyz=tuple(rng.uniform(-0.4, 0.4, size=3)),
+                rpy=tuple(rng.uniform(-np.pi, np.pi, size=3)),
+                axis=tuple(axis),
+                velocity_limit=5.0,
+            )
+        )
+    return make_tree(joints, name=name)
