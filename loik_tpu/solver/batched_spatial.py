@@ -19,26 +19,41 @@ LIN = slice(0, 3)
 ANG = slice(3, 6)
 
 
+# All contractions are written as broadcast-multiply + axis-sum rather than
+# einsum: einsum lowers to dot_general with a trailing batch dimension, which
+# (a) Mosaic cannot lower inside Pallas kernels on this backend and (b) costs
+# XLA layout transposes at large B.  The spatial dims are tiny (3/6), so the
+# broadcasted intermediates are cheap and fuse into pure VPU code.
+
+
 def mv(M, v):
-    """Matrix @ vector over trailing batch: (..., i, j, B), (..., j, B) -> (..., i, B)."""
-    return jnp.einsum("...ijb,...jb->...ib", M, v)
+    """Matrix @ vector over trailing batch: (..., i, j, B), (..., j, B) -> (..., i, B).
+
+    `v` may also be (..., j, 1) (a shared, unbatched vector)."""
+    return jnp.sum(M * v[..., None, :, :], axis=-2)
 
 
 def mtv(M, v):
     """Matrix^T @ vector over trailing batch."""
-    return jnp.einsum("...jib,...jb->...ib", M, v)
+    return jnp.sum(M * v[..., :, None, :], axis=-3)
 
 
 def mm(A, B):
-    return jnp.einsum("...ijb,...jkb->...ikb", A, B)
+    """(..., i, j, B) @ (..., j, k, B) -> (..., i, k, B), column-unrolled."""
+    k = B.shape[-2]
+    return jnp.stack([mv(A, B[..., :, c, :]) for c in range(k)], axis=-2)
 
 
 def mtm(A, B):
-    return jnp.einsum("...jib,...jkb->...ikb", A, B)
+    """A^T @ B over trailing batch."""
+    k = B.shape[-2]
+    return jnp.stack([mtv(A, B[..., :, c, :]) for c in range(k)], axis=-2)
 
 
 def mmt(A, B):
-    return jnp.einsum("...ijb,...kjb->...ikb", A, B)
+    """A @ B^T over trailing batch."""
+    k = B.shape[-3]
+    return jnp.stack([mv(A, B[..., c, :, :]) for c in range(k)], axis=-2)
 
 
 def cross(a, b):

@@ -115,8 +115,9 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     pieces needed for flag/penalty updates.  Pure function of the state."""
     N, K = tree.njoints, tree.nv_max
     dtype = st.vis.dtype
-    # S leaves are traced (they derive from the tree's axis leaf)
-    S = [tree.joint_S(i).astype(dtype) for i in range(N)]
+    # S leaves are traced (they derive from the tree's axis leaf); kept as
+    # (6, k, 1) so the trailing-batch helpers broadcast them across B
+    S = [tree.joint_S(i).astype(dtype)[:, :, None] for i in range(N)]
     nvs, parents = tree.nvs, tree.parents
     c_links = prob.constraint_links
     mu_eq = st.mu_eq  # (B,)
@@ -151,8 +152,8 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
         k = nvs[i]
         Hi = H_list[i]       # (6,6,B) accumulated (children already added)
         pi = p_list[i]
-        Ui = jnp.einsum("ijb,jk->ikb", Hi, Si)            # H S    (6,k,B)
-        Di = jnp.einsum("ji,jkb->ikb", Si, Ui)            # S^T H S (k,k,B)
+        Ui = bsp.mm(Hi, Si)                                # H S    (6,k,B)
+        Di = bsp.mtm(Si, Ui)                               # S^T H S (k,k,B)
         Ri = mu_ineq * jnp.eye(k, dtype=dtype)[:, :, None]
         Di = Di + Ri
         if k == 1:
@@ -161,13 +162,13 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
             Dinv_i = jnp.moveaxis(
                 jnp.linalg.inv(jnp.moveaxis(Di, -1, 0)), 0, -1
             )
-        ri = r[i, :k] + jnp.einsum("jk,jb->kb", Si, pi)    # r + S^T p  (k,B)
+        ri = r[i, :k] + bsp.mtv(Si, pi)                    # r + S^T p  (k,B)
         Dinv[i], U[i], r_tot[i] = Dinv_i, Ui, ri
         par = parents[i]
         if par >= 0:
-            UDinv = jnp.einsum("ikb,klb->ilb", Ui, Dinv_i)     # (6,k,B)
-            Ha = Hi - jnp.einsum("ikb,jkb->ijb", UDinv, Ui)    # H - U D^-1 U^T
-            pa = pi - jnp.einsum("ikb,kb->ib", UDinv, ri)      # p - U D^-1 r
+            UDinv = bsp.mm(Ui, Dinv_i)                         # (6,k,B)
+            Ha = Hi - bsp.mmt(UDinv, Ui)                       # H - U D^-1 U^T
+            pa = pi - bsp.mv(UDinv, ri)                        # p - U D^-1 r
             H_list[par] = H_list[par] + bsp.act_sym6(lR[i], lp[i], Ha)
             p_list[par] = p_list[par] + bsp.act_force(lR[i], lp[i], pa)
 
@@ -182,10 +183,10 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
         v_par = vis_new_list[par] if par >= 0 else zero6
         v_par_loc = bsp.act_inv_motion(lR[i], lp[i], v_par)     # (6,B)
         k = nvs[i]
-        rhs = jnp.einsum("ikb,ib->kb", U[i], v_par_loc) + r_tot[i]
-        nui = -jnp.einsum("klb,lb->kb", Dinv[i], rhs)           # (k,B)
-        vi = v_par_loc + jnp.einsum("jk,kb->jb", S[i], nui)
-        fi = jnp.einsum("ijb,jb->ib", H_list[i], vi) + p_list[i]
+        rhs = bsp.mtv(U[i], v_par_loc) + r_tot[i]
+        nui = -bsp.mv(Dinv[i], rhs)                             # (k,B)
+        vi = v_par_loc + bsp.mv(S[i], nui)
+        fi = bsp.mv(H_list[i], vi) + p_list[i]
         vis_new_list[i] = vi
         fis_new_list[i] = fi
         nu_new_list[i] = jnp.pad(nui, ((0, K - k), (0, 0)))
@@ -216,10 +217,10 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
                    for k, c in enumerate(c_links)]),
         axis=0,
     )
-    bT_dy_plus = jnp.einsum("cib,cib->b", prob.b, jnp.maximum(delta_yis, 0.0))
-    bT_dy_minus = jnp.einsum("cib,cib->b", prob.b, jnp.minimum(delta_yis, 0.0))
-    ubT_dw_plus = jnp.einsum("nkb,nkb->b", prob.ub, jnp.maximum(delta_w, 0.0))
-    lbT_dw_minus = jnp.einsum("nkb,nkb->b", prob.lb, jnp.minimum(delta_w, 0.0))
+    bT_dy_plus = jnp.sum(prob.b * jnp.maximum(delta_yis, 0.0), axis=(0, 1))
+    bT_dy_minus = jnp.sum(prob.b * jnp.minimum(delta_yis, 0.0), axis=(0, 1))
+    ubT_dw_plus = jnp.sum(prob.ub * jnp.maximum(delta_w, 0.0), axis=(0, 1))
+    lbT_dw_minus = jnp.sum(prob.lb * jnp.minimum(delta_w, 0.0), axis=(0, 1))
 
     # ---------------- primal residual ------------------------------------
     pr_slack = nu_new - z_new
@@ -242,7 +243,7 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     stfw_new_list = []
     for i in range(N):
         k = nvs[i]
-        stf = jnp.einsum("jk,jb->kb", S[i], fis_new[i]) + w_new[i, :k]
+        stf = bsp.mtv(S[i], fis_new[i]) + w_new[i, :k]
         stfw_new_list.append(jnp.pad(stf, ((0, K - k), (0, 0))))
     stfw_new = jnp.stack(stfw_new_list)
 
