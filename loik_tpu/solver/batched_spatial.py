@@ -38,22 +38,24 @@ def mtv(M, v):
     return jnp.sum(M * v[..., :, None, :], axis=-3)
 
 
+# Matmats broadcast to (..., i, j, k, B) and sum over j — no integer
+# indexing (Mosaic lowers mid-axis integer indexing as an unsupported
+# gather) and no dot_general; j,k <= 6 keeps intermediates tiny.
+
+
 def mm(A, B):
-    """(..., i, j, B) @ (..., j, k, B) -> (..., i, k, B), column-unrolled."""
-    k = B.shape[-2]
-    return jnp.stack([mv(A, B[..., :, c, :]) for c in range(k)], axis=-2)
+    """(..., i, j, B) @ (..., j, k, B) -> (..., i, k, B)."""
+    return jnp.sum(A[..., :, :, None, :] * B[..., None, :, :, :], axis=-3)
 
 
 def mtm(A, B):
-    """A^T @ B over trailing batch."""
-    k = B.shape[-2]
-    return jnp.stack([mtv(A, B[..., :, c, :]) for c in range(k)], axis=-2)
+    """A^T @ B over trailing batch: contract the i axis of A."""
+    return jnp.sum(A[..., :, :, None, :] * B[..., :, None, :, :], axis=-4)
 
 
 def mmt(A, B):
-    """A @ B^T over trailing batch."""
-    k = B.shape[-3]
-    return jnp.stack([mv(A, B[..., c, :, :]) for c in range(k)], axis=-2)
+    """A @ B^T over trailing batch: (..., i, j, B) x (..., k, j, B)."""
+    return jnp.sum(A[..., :, None, :, :] * B[..., None, :, :, :], axis=-2)
 
 
 def cross(a, b):
