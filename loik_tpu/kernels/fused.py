@@ -33,8 +33,8 @@ from ..params import SolverParams
 from ..problem import IkProblem
 from ..solver import solve as _solve_pkg_function  # noqa: F401 (api parity)
 from ..solver import solve
-from ..solver.solve import (_flat_nu, _reset_state, _solve_loop, fwd_pass_init,
-                            prepare_problem)
+from ..solver.solve import (_flat_nu, _reset_state, fwd_pass_init,
+                            loop_cond, make_loop_body, prepare_problem)
 from ..solver.state import PreparedProblem, SolverState, SolveResult
 
 # state fields that the kernel carries (everything except liMi/log arrays)
@@ -97,16 +97,60 @@ def _kernel(tree, params, constraint_links, n_state, n_prob, *refs):
     pvals["b_inf"] = pvals["b_inf"][0]
     pvals["Hv_inf"] = pvals["Hv_inf"][0]
 
+    liMi_R = liMi_R_ref[:]
+    liMi_p = liMi_p_ref[:]
     st = SolverState(
-        liMi_R=liMi_R_ref[:],
-        liMi_p=liMi_p_ref[:],
+        liMi_R=liMi_R,
+        liMi_p=liMi_p,
         it=jnp.zeros((), jnp.int32),
         log_rp=None, log_rd=None, log_mu=None,
         **vals,
     )
     prob = PreparedProblem(constraint_links=constraint_links, **pvals)
+    body = make_loop_body(tree, prob, params)
 
-    st = _solve_loop(tree, prob, params, st)
+    # Mosaic's while-loop lowering rejects the mixed-rank dataclass carry
+    # (1-D vectors, bools, 0-d scalars); run the SAME body under a carry of
+    # uniformly 2-D arrays, re-encoding at the loop boundary.
+    def enc_st(s2):
+        out = []
+        for name in _STATE_FIELDS:
+            v = getattr(s2, name)
+            if name in _BOOL_FIELDS:
+                v = v.astype(jnp.int32)[None]
+            elif name in _INT_FIELDS:
+                v = v[None]
+            elif v.ndim == 1:
+                v = v[None]
+            out.append(v)
+        out.append(s2.it[None, None])  # () -> (1,1)
+        return tuple(out)
+
+    def dec_st(carry):
+        vals2 = {}
+        for name, v in zip(_STATE_FIELDS, carry[:-1]):
+            if name in _BOOL_FIELDS:
+                v = v[0] != 0
+            elif name in _INT_FIELDS:
+                v = v[0]
+            elif v.shape[0] == 1 and getattr(st, name).ndim == 1:
+                v = v[0]
+            vals2[name] = v
+        return SolverState(
+            liMi_R=liMi_R, liMi_p=liMi_p, it=carry[-1][0, 0],
+            log_rp=None, log_rd=None, log_mu=None, **vals2,
+        )
+
+    running_idx = _STATE_FIELDS.index("running")
+
+    def cond_k(carry):
+        return jnp.any(carry[running_idx] != 0)
+
+    def body_k(carry):
+        return enc_st(body(dec_st(carry)))
+
+    final = jax.lax.while_loop(cond_k, body_k, enc_st(st))
+    st = dec_st(final)
 
     for name, ref in zip(_STATE_FIELDS, outs):
         v = getattr(st, name)

@@ -302,15 +302,16 @@ def _masked_merge(mask, new, old):
     return jnp.where(mask, new, old)
 
 
-def _solve_loop(tree, prob: PreparedProblem, params: SolverParams, st: SolverState):
-    """Run the ADMM main loop + per-problem infeasibility tail solves inside
-    one lax.while_loop with masked termination (Solve,
-    loik-loid-optimized.hpp:368-455 + InfeasibilityTailSolve :266-319)."""
+def loop_cond(st: SolverState):
+    return jnp.any(st.running)
+
+
+def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
+    """One ADMM iteration + flag/penalty transitions as a pure
+    SolverState -> SolverState function (shared by the XLA while loop and the
+    fused Pallas kernel, which wraps it in its own carry encoding)."""
 
     max_iter = params.max_iter
-
-    def cond(st: SolverState):
-        return jnp.any(st.running)
 
     def body(st: SolverState) -> SolverState:
         i = st.it + 1
@@ -387,7 +388,15 @@ def _solve_loop(tree, prob: PreparedProblem, params: SolverParams, st: SolverSta
             updates["log_mu"] = st.log_mu.at[i - 1].set(jnp.where(active, st.mu, jnp.nan))
         return dataclasses.replace(st, **updates)
 
-    return jax.lax.while_loop(cond, body, st)
+    return body
+
+
+def _solve_loop(tree, prob: PreparedProblem, params: SolverParams, st: SolverState):
+    """Run the ADMM main loop + per-problem infeasibility tail solves inside
+    one lax.while_loop with masked termination (Solve,
+    loik-loid-optimized.hpp:368-455 + InfeasibilityTailSolve :266-319)."""
+    body = make_loop_body(tree, prob, params)
+    return jax.lax.while_loop(loop_cond, body, st)
 
 
 # --------------------------------------------------------------------------- #
