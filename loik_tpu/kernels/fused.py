@@ -80,18 +80,14 @@ def _kernel(tree, params, constraint_links, n_state, n_prob, *refs):
         velocity_limit=jnp.zeros((tree.nv,), axis_ref.dtype),
     )
 
+    # keep every per-problem scalar as (1, BT) — bools decoded from i32 but
+    # NOT squeezed: rank-1 bool/int vector ops crash this Mosaic backend,
+    # while (1, BT) broadcasts identically through the shared solver math
     vals = {}
     for name, ref in zip(_STATE_FIELDS, state_in):
         v = ref[:]
         if name in _BOOL_FIELDS:
-            v = v[0] != 0          # (1,BT) i32 -> (BT,) bool
-        elif name in _INT_FIELDS:
-            v = v[0]
-        elif v.shape[0] == 1 and name in (
-            "mu", "mu_eq", "mu_ineq", "primal_residual", "dual_residual",
-            "delta_x_inf", "delta_z_inf",
-        ):
-            v = v[0]
+            v = v != 0             # (1,BT) i32 -> (1,BT) bool
         vals[name] = v
     pvals = {name: ref[:] for name, ref in zip(_PROB_FIELDS, prob_in)}
     pvals["b_inf"] = pvals["b_inf"][0]
@@ -117,24 +113,18 @@ def _kernel(tree, params, constraint_links, n_state, n_prob, *refs):
         for name in _STATE_FIELDS:
             v = getattr(s2, name)
             if name in _BOOL_FIELDS:
-                v = v.astype(jnp.int32)[None]
-            elif name in _INT_FIELDS:
-                v = v[None]
-            elif v.ndim == 1:
+                v = v.astype(jnp.int32)
+            if v.ndim == 1:
                 v = v[None]
             out.append(v)
-        out.append(s2.it[None, None])  # () -> (1,1)
+        out.append(jnp.reshape(s2.it, (1, 1)))  # () -> (1,1)
         return tuple(out)
 
     def dec_st(carry):
         vals2 = {}
         for name, v in zip(_STATE_FIELDS, carry[:-1]):
             if name in _BOOL_FIELDS:
-                v = v[0] != 0
-            elif name in _INT_FIELDS:
-                v = v[0]
-            elif v.shape[0] == 1 and getattr(st, name).ndim == 1:
-                v = v[0]
+                v = v != 0
             vals2[name] = v
         return SolverState(
             liMi_R=liMi_R, liMi_p=liMi_p, it=carry[-1][0, 0],
@@ -155,12 +145,10 @@ def _kernel(tree, params, constraint_links, n_state, n_prob, *refs):
     for name, ref in zip(_STATE_FIELDS, outs):
         v = getattr(st, name)
         if name in _BOOL_FIELDS:
-            v = v.astype(jnp.int32)[None]
-        elif name in _INT_FIELDS:
+            v = v.astype(jnp.int32)
+        if v.ndim == 1:
             v = v[None]
-        elif v.ndim == 1:
-            v = v[None]
-        ref[:] = v
+        ref[:] = jnp.broadcast_to(v, ref.shape)
 
 
 def fused_solve_loop(tree, params: SolverParams, prob: PreparedProblem,
