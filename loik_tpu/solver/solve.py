@@ -356,7 +356,11 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
         mu_ineq_next = jnp.where(do_mu, mu_next, st.mu_ineq)
 
         # iteration budget: main loop runs i <= max_iter-1; tail runs i <= max_iter
-        budget_next = jnp.where(in_tail_next, i + 1 <= max_iter, i + 1 <= max_iter - 1)
+        # (boolean algebra, not jnp.where with scalar-bool branches — that
+        # construct crashes the Mosaic TPU compiler inside the fused kernel)
+        budget_next = (in_tail_next & (i + 1 <= max_iter)) | (
+            ~in_tail_next & (i + 1 <= max_iter - 1)
+        )
         running_next = active & ~conv_now & ~tail_done & budget_next
 
         # --- merge (freeze finished problems) ---------------------------
