@@ -19,43 +19,65 @@ LIN = slice(0, 3)
 ANG = slice(3, 6)
 
 
-# All contractions are written as broadcast-multiply + axis-sum rather than
-# einsum: einsum lowers to dot_general with a trailing batch dimension, which
-# (a) Mosaic cannot lower inside Pallas kernels on this backend and (b) costs
-# XLA layout transposes at large B.  The spatial dims are tiny (3/6), so the
-# broadcasted intermediates are cheap and fuse into pure VPU code.
+# All contractions are SLICE-ACCUMULATE chains of elementwise FMAs over the
+# tiny spatial dims (3/6): no dot_general (Mosaic cannot lower trailing-batch
+# dots; XLA transposes around them), no axis reductions (each jnp.sum breaks
+# XLA elementwise fusion and forces an HBM round-trip of the intermediate —
+# measured ~5 ms/iteration at B=8192, fully bandwidth-bound), and no mid-axis
+# integer indexing (Mosaic lowers it as an unsupported gather).  Static
+# slices keep singleton axes; squeezes are explicit reshapes of singletons.
+
+
+def _sq(x, axis):
+    return jnp.squeeze(x, axis)
 
 
 def mv(M, v):
     """Matrix @ vector over trailing batch: (..., i, j, B), (..., j, B) -> (..., i, B).
 
-    `v` may also be (..., j, 1) (a shared, unbatched vector)."""
-    return jnp.sum(M * v[..., None, :, :], axis=-2)
+    `v` may also be broadcastable, e.g. (..., j, 1) for a shared vector."""
+    k = M.shape[-2]
+    acc = M[..., :, 0:1, :] * v[..., None, 0:1, :]
+    for j in range(1, k):
+        acc = acc + M[..., :, j : j + 1, :] * v[..., None, j : j + 1, :]
+    return _sq(acc, -2)
 
 
 def mtv(M, v):
-    """Matrix^T @ vector over trailing batch."""
-    return jnp.sum(M * v[..., :, None, :], axis=-3)
-
-
-# Matmats broadcast to (..., i, j, k, B) and sum over j — no integer
-# indexing (Mosaic lowers mid-axis integer indexing as an unsupported
-# gather) and no dot_general; j,k <= 6 keeps intermediates tiny.
+    """Matrix^T @ vector: (..., j, i, B), (..., j, B) -> (..., i, B)."""
+    n = M.shape[-3]
+    acc = M[..., 0:1, :, :] * v[..., 0:1, None, :]
+    for j in range(1, n):
+        acc = acc + M[..., j : j + 1, :, :] * v[..., j : j + 1, None, :]
+    return _sq(acc, -3)
 
 
 def mm(A, B):
-    """(..., i, j, B) @ (..., j, k, B) -> (..., i, k, B)."""
-    return jnp.sum(A[..., :, :, None, :] * B[..., None, :, :, :], axis=-3)
+    """(..., i, j, B) @ (..., j, k, B) -> (..., i, k, B) as a sum of outer
+    products of A columns with B rows (slices only, no reductions)."""
+    n = A.shape[-2]
+    acc = A[..., :, 0:1, :] * B[..., 0:1, :, :]
+    for j in range(1, n):
+        acc = acc + A[..., :, j : j + 1, :] * B[..., j : j + 1, :, :]
+    return acc
 
 
 def mtm(A, B):
-    """A^T @ B over trailing batch: contract the i axis of A."""
-    return jnp.sum(A[..., :, :, None, :] * B[..., :, None, :, :], axis=-4)
+    """A^T @ B: (..., j, i, B), (..., j, k, B) -> (..., i, k, B)."""
+    n = A.shape[-3]
+    acc = jnp.swapaxes(A[..., 0:1, :, :], -3, -2) * B[..., 0:1, :, :]
+    for j in range(1, n):
+        acc = acc + jnp.swapaxes(A[..., j : j + 1, :, :], -3, -2) * B[..., j : j + 1, :, :]
+    return acc
 
 
 def mmt(A, B):
-    """A @ B^T over trailing batch: (..., i, j, B) x (..., k, j, B)."""
-    return jnp.sum(A[..., :, None, :, :] * B[..., None, :, :, :], axis=-2)
+    """A @ B^T: (..., i, j, B), (..., k, j, B) -> (..., i, k, B)."""
+    n = A.shape[-2]
+    acc = A[..., :, 0:1, :] * jnp.swapaxes(B[..., :, 0:1, :], -3, -2)
+    for j in range(1, n):
+        acc = acc + A[..., :, j : j + 1, :] * jnp.swapaxes(B[..., :, j : j + 1, :], -3, -2)
+    return acc
 
 
 def cross(a, b):
