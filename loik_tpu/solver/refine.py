@@ -150,10 +150,18 @@ def solve_two_stage(
     problem: IkProblem,
     stage1_tol: float = 2e-5,
     stage2_max_iter: Optional[int] = None,
+    stage2_mu: float = 1e-3,
+    stage2_mu_eq_scale: float = 1e6,
     warm_state: Optional[SolverState] = None,
 ) -> SolveResult:
     """Solve at params.tol_abs/tol_rel accuracy using f32 for the bulk and a
     warm f64 tail.  `tree`/`q`/`problem` may be f32 or f64; outputs are f64.
+
+    Stage 2 uses its own penalty settings: with near-optimal warm duals a
+    LARGE equality penalty (mu_eq ~ 1e3) closes the constraint residual in
+    1-3 iterations while a small mu_ineq keeps the box duals stable —
+    measured max ~6 stage-2 iterations vs ~20 with the stage-1 penalties,
+    which matters because the masked batch runs until its slowest member.
 
     Requires jax x64 to be enabled for stage 2."""
     tol1 = max(stage1_tol, params.tol_abs)
@@ -169,6 +177,8 @@ def solve_two_stage(
     p2 = params.replace(
         warm_start=True,
         max_iter=stage2_max_iter or max(20, params.max_iter // 4),
+        mu=stage2_mu,
+        mu_equality_scale_factor=stage2_mu_eq_scale,
     )
     tree64 = tree.astype(jnp.float64)
     res2 = solve(tree64, p2, jnp.asarray(q, jnp.float64),
