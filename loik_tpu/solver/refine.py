@@ -179,6 +179,10 @@ def solve_two_stage(
         max_iter=stage2_max_iter or max(20, params.max_iter // 4),
         mu=stage2_mu,
         mu_equality_scale_factor=stage2_mu_eq_scale,
+        # problems certified primal-infeasible in stage 1 keep that verdict
+        # and skip stage 2 — re-deriving the certificate from a cold dual
+        # trajectory in f64 takes ~max_iter and dominated the masked batch
+        freeze_infeasible_on_warm_start=True,
     )
     tree64 = tree.astype(jnp.float64)
     res2 = solve(tree64, p2, jnp.asarray(q, jnp.float64),
