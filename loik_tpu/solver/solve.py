@@ -350,7 +350,12 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
         )
         # clamp: repeated x0.1 under a residual floor underflows f32 to zero
         # (then w / mu_ineq = inf); the reference never hits this in double
-        mu_next = jnp.clip(mu_next, 1e-12, 1e12)
+        mu_next = jnp.clip(
+            mu_next,
+            jnp.asarray(1e-12, mu_next.dtype),
+            jnp.asarray(1e12, mu_next.dtype),
+        )  # dtype-pinned bounds: under x64 the float literals become f64
+           # scalars, which the Mosaic kernel lowering rejects
         mu_next = jnp.where(do_mu, mu_next, st.mu)
         mu_eq_next = jnp.where(do_mu, params.mu_equality_scale_factor * mu_next, st.mu_eq)
         mu_ineq_next = jnp.where(do_mu, mu_next, st.mu_ineq)
