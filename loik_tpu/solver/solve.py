@@ -123,12 +123,19 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     mu_eq = st.mu_eq  # (B,)
     mu_ineq = st.mu_ineq
 
+    # dtype-pinned scalar hyper-parameters: bare Python floats trace as
+    # weak-f64 scalars under x64, which the Mosaic kernel lowering rejects
+    rho = jnp.asarray(params.rho, dtype)
+    tol_abs = jnp.asarray(params.tol_abs, dtype)
+    tol_rel = jnp.asarray(params.tol_rel, dtype)
+    tol_primal_inf = jnp.asarray(params.tol_primal_inf, dtype)
+
     eye6 = jnp.eye(6, dtype=dtype)[:, :, None]
 
     # ---------------- FwdPass1 (loik-loid-optimized.hxx:290-338) ----------
     r = st.w - mu_ineq * st.z                      # (N,K,B)
-    H = params.rho * eye6 + prob.H_ref             # (N,6,6,B)
-    p = -params.rho * st.vis - prob.Hv             # vis == vis_prev at entry
+    H = rho * eye6 + prob.H_ref                    # (N,6,6,B)
+    p = -rho * st.vis - prob.Hv                    # vis == vis_prev at entry
 
     # unstack to per-joint SSA values for the sweeps; constrained joints get
     # their mu_eq terms added on the unstacked values (no scatter — keeps the
@@ -254,10 +261,10 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     dual_residual = jnp.maximum(dual_residual_v, dual_residual_nu)
 
     # ---------------- adaptive tolerances (loik-loid-optimized.hxx:540-565)
-    tol_primal = params.tol_abs + params.tol_rel * jnp.maximum(
+    tol_primal = tol_abs + tol_rel * jnp.maximum(
         jnp.maximum(Av_inf, nu_inf), prob.b_inf
     )
-    tol_dual = params.tol_abs + params.tol_rel * jnp.maximum(
+    tol_dual = tol_abs + tol_rel * jnp.maximum(
         jnp.maximum(bsp.inf_norm_b(Href_v), prob.Hv_inf),
         jnp.maximum(bsp.inf_norm_b(fdpa_new), bsp.inf_norm_b(stfw_new)),
     )
@@ -271,10 +278,10 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     At_dy_inf = jnp.maximum(
         bsp.inf_norm_b(fdpa_new - st.fdpa), bsp.inf_norm_b(stfw_new - st.stfw)
     )
-    pinf_cond1 = At_dy_inf <= params.tol_primal_inf * delta_y_inf
+    pinf_cond1 = At_dy_inf <= tol_primal_inf * delta_y_inf
     pinf_cond2 = (
         bT_dy_plus + ubT_dw_plus + bT_dy_minus + lbT_dw_minus
-    ) <= params.tol_primal_inf * delta_y_inf
+    ) <= tol_primal_inf * delta_y_inf
     primal_infeasible_now = pinf_cond1 & pinf_cond2
 
     delta_x_inf = jnp.maximum(delta_vis_inf, delta_nu_inf)
@@ -314,6 +321,11 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
     max_iter = params.max_iter
 
     def body(st: SolverState) -> SolverState:
+        dtype = st.mu.dtype
+        ten = jnp.asarray(10.0, dtype)
+        tenth = jnp.asarray(0.1, dtype)
+        tol_tail = jnp.asarray(params.tol_tail_solve, dtype)
+        eq_scale = jnp.asarray(params.mu_equality_scale_factor, dtype)
         i = st.it + 1
         active = st.running                      # (B,)
         new, checks = _iteration(tree, prob, params, st)
@@ -338,15 +350,15 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
         tail_done = (
             active
             & in_tail_next
-            & (new["delta_x_inf"] < params.tol_tail_solve)
-            & (new["delta_z_inf"] < params.tol_tail_solve)
+            & (new["delta_x_inf"] < tol_tail)
+            & (new["delta_z_inf"] < tol_tail)
         )
 
         # mu update only for problems continuing in normal mode
         do_mu = normal & ~conv_now & ~pinf_now
         rp, rd = new["primal_residual"], new["dual_residual"]
         mu_next = jnp.where(
-            rp > 10.0 * rd, st.mu * 10.0, jnp.where(rd > 10.0 * rp, st.mu * 0.1, st.mu)
+            rp > ten * rd, st.mu * ten, jnp.where(rd > ten * rp, st.mu * tenth, st.mu)
         )
         # clamp: repeated x0.1 under a residual floor underflows f32 to zero
         # (then w / mu_ineq = inf); the reference never hits this in double
@@ -357,7 +369,7 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
         )  # dtype-pinned bounds: under x64 the float literals become f64
            # scalars, which the Mosaic kernel lowering rejects
         mu_next = jnp.where(do_mu, mu_next, st.mu)
-        mu_eq_next = jnp.where(do_mu, params.mu_equality_scale_factor * mu_next, st.mu_eq)
+        mu_eq_next = jnp.where(do_mu, eq_scale * mu_next, st.mu_eq)
         mu_ineq_next = jnp.where(do_mu, mu_next, st.mu_ineq)
 
         # iteration budget: main loop runs i <= max_iter-1; tail runs i <= max_iter
