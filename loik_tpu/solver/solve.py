@@ -126,6 +126,8 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     # dtype-pinned scalar hyper-parameters: bare Python floats trace as
     # weak-f64 scalars under x64, which the Mosaic kernel lowering rejects
     rho = jnp.asarray(params.rho, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    one = jnp.asarray(1.0, dtype)
     tol_abs = jnp.asarray(params.tol_abs, dtype)
     tol_rel = jnp.asarray(params.tol_rel, dtype)
     tol_primal_inf = jnp.asarray(params.tol_primal_inf, dtype)
@@ -164,7 +166,7 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
         Ri = mu_ineq * jnp.eye(k, dtype=dtype)[:, :, None]
         Di = Di + Ri
         if k == 1:
-            Dinv_i = 1.0 / Di
+            Dinv_i = one / Di
         else:
             Dinv_i = jnp.moveaxis(
                 jnp.linalg.inv(jnp.moveaxis(Di, -1, 0)), 0, -1
@@ -224,10 +226,10 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
                    for k, c in enumerate(c_links)]),
         axis=0,
     )
-    bT_dy_plus = jnp.sum(prob.b * jnp.maximum(delta_yis, 0.0), axis=(0, 1))
-    bT_dy_minus = jnp.sum(prob.b * jnp.minimum(delta_yis, 0.0), axis=(0, 1))
-    ubT_dw_plus = jnp.sum(prob.ub * jnp.maximum(delta_w, 0.0), axis=(0, 1))
-    lbT_dw_minus = jnp.sum(prob.lb * jnp.minimum(delta_w, 0.0), axis=(0, 1))
+    bT_dy_plus = jnp.sum(prob.b * jnp.maximum(delta_yis, zero), axis=(0, 1))
+    bT_dy_minus = jnp.sum(prob.b * jnp.minimum(delta_yis, zero), axis=(0, 1))
+    ubT_dw_plus = jnp.sum(prob.ub * jnp.maximum(delta_w, zero), axis=(0, 1))
+    lbT_dw_minus = jnp.sum(prob.lb * jnp.minimum(delta_w, zero), axis=(0, 1))
 
     # ---------------- primal residual ------------------------------------
     pr_slack = nu_new - z_new
