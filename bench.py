@@ -32,6 +32,10 @@ def main():
                     choices=["f32", "f64", "two-stage"],
                     help="two-stage = f32 bulk + warm f64 refinement (the "
                          "tol-1e-6 path; f32 alone floors ~1e-5)")
+    ap.add_argument("--stage1-max-iter", type=int, default=32,
+                    help="two-stage: f32 stage-1 iteration cap (past ~4x the "
+                         "p99 the stragglers are stage-2 work anyway, and the "
+                         "masked batch pays for its slowest member)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -74,7 +78,8 @@ def main():
     ]
 
     if args.mode == "two-stage":
-        run = lambda q: solve_two_stage(tree, params, q, problem)
+        run = lambda q: solve_two_stage(
+            tree, params, q, problem, stage1_max_iter=args.stage1_max_iter)
     else:
         run = lambda q: solve(tree, params, q, problem)
 

@@ -134,7 +134,10 @@ def _kernel(tree, params, constraint_links, n_state, n_prob, *refs):
     running_idx = _STATE_FIELDS.index("running")
 
     def cond_k(carry):
-        return jnp.any(carry[running_idx] != 0)
+        # i32 max instead of bool any: Mosaic lowers reduce_or through a
+        # float proxy that becomes f64 under x64 and fails the scalar
+        # squeeze; an integer max reduction stays 32-bit everywhere
+        return jnp.max(carry[running_idx]) > 0
 
     def body_k(carry):
         return enc_st(body(dec_st(carry)))

@@ -26,6 +26,8 @@ ANG = slice(3, 6)
 # measured ~5 ms/iteration at B=8192, fully bandwidth-bound), and no mid-axis
 # integer indexing (Mosaic lowers it as an unsupported gather).  Static
 # slices keep singleton axes; squeezes are explicit reshapes of singletons.
+# Slices and None (newaxis) are kept in SEPARATE indexing ops: a mixed
+# `x[..., 0:1, None, :]` lowers as a malformed gather in Mosaic under x64.
 
 
 def _sq(x, axis):
@@ -37,18 +39,18 @@ def mv(M, v):
 
     `v` may also be broadcastable, e.g. (..., j, 1) for a shared vector."""
     k = M.shape[-2]
-    acc = M[..., :, 0:1, :] * v[..., None, 0:1, :]
+    acc = M[..., :, 0:1, :] * jnp.expand_dims(v[..., 0:1, :], -3)
     for j in range(1, k):
-        acc = acc + M[..., :, j : j + 1, :] * v[..., None, j : j + 1, :]
+        acc = acc + M[..., :, j : j + 1, :] * jnp.expand_dims(v[..., j : j + 1, :], -3)
     return _sq(acc, -2)
 
 
 def mtv(M, v):
     """Matrix^T @ vector: (..., j, i, B), (..., j, B) -> (..., i, B)."""
     n = M.shape[-3]
-    acc = M[..., 0:1, :, :] * v[..., 0:1, None, :]
+    acc = M[..., 0:1, :, :] * jnp.expand_dims(v[..., 0:1, :], -2)
     for j in range(1, n):
-        acc = acc + M[..., j : j + 1, :, :] * v[..., j : j + 1, None, :]
+        acc = acc + M[..., j : j + 1, :, :] * jnp.expand_dims(v[..., j : j + 1, :], -2)
     return _sq(acc, -3)
 
 
