@@ -223,41 +223,59 @@ def fused_solve_loop(tree, params: SolverParams, prob: PreparedProblem,
 
 def solve_fused(tree, params: SolverParams, q, problem: IkProblem,
                 warm_state: Optional[SolverState] = None,
-                batch_tile: int = 256, interpret: bool = False) -> SolveResult:
-    """Drop-in variant of `solver.solve` running the fused kernel."""
+                batch_tile: int = 512, interpret: bool = False) -> SolveResult:
+    """Drop-in variant of `solver.solve` running the fused kernel.
+
+    f32-only: Mosaic has no f64, and under `jax_enable_x64` even weak-typed
+    Python ints/floats in the traced loop widen to 64-bit and crash the TPU
+    lowering (`bitwidth_ <= 32`).  f64 inputs are rejected up front and the
+    trace runs with x64 scoped OFF so literals stay 32-bit regardless of the
+    global flag (the f64 path is `solver.solve` / the two-stage refinement).
+    """
     q = jnp.asarray(q)
+    if q.dtype == jnp.float64:
+        raise ValueError(
+            "solve_fused is f32-only (Mosaic TPU has no f64); cast inputs to "
+            "float32 or use solver.solve / solve_two_stage for f64"
+        )
     if q.ndim == 1:
         q = q[None]
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _run(params, q, problem, warm_state):
-        with jax.default_matmul_precision("highest"):
-            dtype = q.dtype
-            B = q.shape[0]
-            prob = prepare_problem(tree, problem, B, dtype)
-            if warm_state is None:
-                from ..solver.state import init_state
+    with jax.enable_x64(False):
+        return _run_fused(params, batch_tile, interpret, tree, q, problem,
+                          warm_state)
 
-                st = init_state(tree, B, problem.num_constraints, dtype)
-            else:
-                st = warm_state
-            st = _reset_state(tree, params, st, dtype)
-            liMi_R, liMi_p = fwd_pass_init(tree, q)
-            st = dataclasses.replace(st, liMi_R=liMi_R, liMi_p=liMi_p)
-            st = fused_solve_loop(tree, params, prob, st, batch_tile, interpret)
-            vis_out = jnp.moveaxis(st.vis, -1, 0)
-            return SolveResult(
-                nu=_flat_nu(tree, st.nu),
-                z=_flat_nu(tree, st.z),
-                vis=vis_out,
-                converged=st.converged,
-                primal_infeasible=st.primal_infeasible,
-                dual_infeasible=st.dual_infeasible,
-                iterations=st.iterations,
-                tail_iterations=st.tail_iterations,
-                primal_residual=st.primal_residual,
-                dual_residual=st.dual_residual,
-                state=st,
-            )
 
-    return _run(params, q, problem, warm_state)
+# module-level jit: a closure re-created per call would RE-TRACE every call
+# (~1.5 s of host tracing per solve, measured); here the cache keys on
+# (params, tile, interpret) + the pytree treedefs and tracing happens once
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _run_fused(params, batch_tile, interpret, tree, q, problem, warm_state):
+    with jax.default_matmul_precision("highest"):
+        dtype = q.dtype
+        B = q.shape[0]
+        prob = prepare_problem(tree, problem, B, dtype)
+        if warm_state is None:
+            from ..solver.state import init_state
+
+            st = init_state(tree, B, problem.num_constraints, dtype)
+        else:
+            st = warm_state
+        st = _reset_state(tree, params, st, dtype)
+        liMi_R, liMi_p = fwd_pass_init(tree, q)
+        st = dataclasses.replace(st, liMi_R=liMi_R, liMi_p=liMi_p)
+        st = fused_solve_loop(tree, params, prob, st, batch_tile, interpret)
+        vis_out = jnp.moveaxis(st.vis, -1, 0)
+        return SolveResult(
+            nu=_flat_nu(tree, st.nu),
+            z=_flat_nu(tree, st.z),
+            vis=vis_out,
+            converged=st.converged,
+            primal_infeasible=st.primal_infeasible,
+            dual_infeasible=st.dual_infeasible,
+            iterations=st.iterations,
+            tail_iterations=st.tail_iterations,
+            primal_residual=st.primal_residual,
+            dual_residual=st.dual_residual,
+            state=st,
+        )

@@ -66,3 +66,37 @@ def test_fused_rejects_logging():
     params = SolverParams(max_iter=10, logging=True)
     with pytest.raises(ValueError, match="logging"):
         solve_fused(tree, params, qs, prob, batch_tile=16, interpret=True)
+
+
+def test_fused_rejects_f64():
+    """Mosaic has no f64; f64 inputs must fail fast with a clear message
+    (under jax_enable_x64 they previously crashed the TPU lowering)."""
+    tree, prob, qs = _workload(B=16, dtype=jnp.float64)
+    params = SolverParams(max_iter=10)
+    with pytest.raises(ValueError, match="f32-only"):
+        solve_fused(tree, params, qs, prob, batch_tile=16, interpret=True)
+
+
+def test_fused_f32_under_x64_config():
+    """x64 is globally ON in conftest: the fused path must still trace with
+    32-bit literals (x64 scoped off inside) and run f32 inputs."""
+    assert jax.config.jax_enable_x64
+    tree, prob, qs = _workload(B=16)
+    params = SolverParams(max_iter=30, tol_abs=1e-4, tol_rel=1e-4)
+    r1 = solve(tree, params, qs, prob)
+    r2 = solve_fused(tree, params, qs, prob, batch_tile=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1.nu), np.asarray(r2.nu))
+
+
+def test_fused_traces_once():
+    """solve_fused must reuse one module-level jit cache entry across calls
+    (a per-call closure would re-trace every solve — ~1.5 s of host overhead
+    per call, the dominant cost at control-loop batch sizes)."""
+    from loik_tpu.kernels import fused as fused_mod
+
+    tree, prob, qs = _workload(B=16)
+    params = SolverParams(max_iter=10, tol_abs=1e-3, tol_rel=1e-3)
+    solve_fused(tree, params, qs, prob, batch_tile=16, interpret=True)
+    n0 = fused_mod._run_fused._cache_size()
+    solve_fused(tree, params, qs, prob, batch_tile=16, interpret=True)
+    assert fused_mod._run_fused._cache_size() == n0
