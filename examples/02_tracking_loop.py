@@ -1,0 +1,37 @@
+"""1 kHz-style trajectory tracking: the tailored per-tick solve.
+
+The reference's control-loop entry point `Solve(q, c_id, Ai, bi)`
+(loik-loid-optimized.hpp:596-695) updates ONE equality constraint per tick
+and warm-starts duals from the previous tick.  Here: track a vertical
+sinusoid with the Panda EE, integrating q with the solved velocities.
+
+Run:  python examples/02_tracking_loop.py
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from loik_tpu import DiffIkSolver, SolverParams
+from loik_tpu.model import robots
+
+tree = robots.panda_arm("float32")
+ee = tree.njoints - 1
+params = SolverParams(max_iter=100, tol_abs=1e-4, tol_rel=1e-4,
+                      warm_start=True)
+
+solver = DiffIkSolver(tree, params, constraint_links=(ee,))
+solver.update_ineq_constraints(-2.0 * np.ones(tree.nv), 2.0 * np.ones(tree.nv))
+
+dt, ticks = 1e-3, 300
+q = tree.neutral()[None].astype(jnp.float32)
+iters = []
+for t in range(ticks):
+    vz = 0.1 * np.cos(2 * np.pi * 1.0 * t * dt)       # 1 Hz vertical wave
+    b = jnp.array([0.0, 0.0, vz, 0.0, 0.0, 0.0], jnp.float32)
+    res = solver.solve_tracking(q, ee, b=b)           # warm duals carry over
+    q = tree.integrate(q, dt * res.nu)
+    iters.append(int(np.asarray(res.iterations)[0]))
+
+print(f"ticks={ticks}  iterations/tick: first={iters[0]} "
+      f"warm mean={np.mean(iters[1:]):.1f} max={max(iters[1:])}")
+print("final q =", np.asarray(q[0]).round(3))

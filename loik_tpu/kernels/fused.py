@@ -251,6 +251,12 @@ def solve_fused(tree, params: SolverParams, q, problem: IkProblem,
 # (params, tile, interpret) + the pytree treedefs and tracing happens once
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _run_fused(params, batch_tile, interpret, tree, q, problem, warm_state):
+    return _fused_body(params, batch_tile, interpret, tree, q, problem,
+                       warm_state)
+
+
+def _fused_body(params, batch_tile, interpret, tree, q, problem, warm_state):
+    """Traceable fused-solve body (also inlined by refine._two_stage_jit)."""
     with jax.default_matmul_precision("highest"):
         dtype = q.dtype
         B = q.shape[0]

@@ -229,6 +229,41 @@ class KinematicTree:
                 q = q.at[..., iq : iq + 3].set(q[..., iq : iq + 3] / np.pi)  # xyz in [-1, 1]
         return q
 
+    def integrate(self, q: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
+        """Configuration-manifold integration q ⊕ dq, Pinocchio convention
+        (`pinocchio::integrate`): dq (..., nv) is a tangent step expressed in
+        the joint's LOCAL frame.  Needed to close the tracking loop
+        (q_next = integrate(q, dt * nu)); the reference defers this to
+        Pinocchio, a standalone framework provides it itself.
+
+        Revolute/prismatic add; spherical right-multiplies the quaternion by
+        exp3(dw); free-flyer right-multiplies the SE(3) pose by exp6(dv)."""
+        out = jnp.asarray(q)
+        dq = jnp.asarray(dq)
+        for i, t in enumerate(self.jtypes):
+            iq, iv = self.idx_q[i], self.idx_v[i]
+            if t in (REVOLUTE, PRISMATIC):
+                out = out.at[..., iq].set(out[..., iq] + dq[..., iv])
+            elif t == SPHERICAL:
+                quat = out[..., iq : iq + 4]
+                dquat = spatial.exp3_quat(dq[..., iv : iv + 3])
+                out = out.at[..., iq : iq + 4].set(spatial.quat_mul(quat, dquat))
+            elif t == FREE_FLYER:
+                p = out[..., iq : iq + 3]
+                quat = out[..., iq + 3 : iq + 7]
+                R = spatial.quat_to_rotmat(quat)
+                _, dp = spatial.se3_exp(dq[..., iv : iv + 6])
+                p_new = p + jnp.einsum("...ij,...j->...i", R, dp)
+                # rotation updates in quaternion space (no rotmat->quat)
+                dquat = spatial.exp3_quat(dq[..., iv + 3 : iv + 6])
+                out = out.at[..., iq : iq + 3].set(p_new)
+                out = out.at[..., iq + 3 : iq + 7].set(
+                    spatial.quat_mul(quat, dquat)
+                )
+            else:  # pragma: no cover
+                raise ValueError(f"unknown joint type {t}")
+        return out
+
     # ------------------------------------------------------------------ #
     # forward kinematics
     # ------------------------------------------------------------------ #

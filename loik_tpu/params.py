@@ -47,6 +47,13 @@ class SolverParams:
                                          # (degenerate in delta space)
     freeze_infeasible_on_warm_start: bool = False  # keep already-infeasible
                                          # problems frozen instead of re-solving
+    tail_solve: bool = True              # run InfeasibilityTailSolve after an
+                                         # infeasibility certificate (converge
+                                         # to the closest-feasible solution,
+                                         # loik-loid-optimized.hpp:266-319);
+                                         # off = freeze at detection, saving
+                                         # the ~12-iteration mean tail when
+                                         # only feasible solutions are consumed
 
     def __post_init__(self):
         if self.mu_update_strat != MuUpdateStrat.DEFAULT:

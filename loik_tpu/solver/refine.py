@@ -155,6 +155,9 @@ def solve_two_stage(
     stage2_mu: float = 1e-3,
     stage2_mu_eq_scale: float = 1e6,
     warm_state: Optional[SolverState] = None,
+    fused_stage1: Optional[bool] = None,
+    batch_tile: int = 256,
+    _interpret: bool = False,
 ) -> SolveResult:
     """Solve at params.tol_abs/tol_rel accuracy using f32 for the bulk and a
     warm f64 tail.  `tree`/`q`/`problem` may be f32 or f64; outputs are f64.
@@ -193,6 +196,16 @@ def solve_two_stage(
     single = q.ndim == 1
     if single:
         q = q[None]
+    # stage 1 runs as the fused Pallas kernel when available: the whole f32
+    # ADMM loop stays in VMEM per batch tile and each tile stops at ITS OWN
+    # max iteration count instead of the global batch max (measured 36 ->
+    # 31 ms per 16k-problem stage 1 on v5e)
+    if fused_stage1 is None:
+        fused_stage1 = (
+            jax.default_backend() == "tpu"
+            and not params.logging
+            and q.shape[0] % batch_tile == 0
+        )
     # both stages under ONE jit: XLA dead-code-eliminates the stage-1 result
     # assembly and keeps the intermediate state on-device with no host sync
     # between stages (measured 126 ms -> 84 ms per 16k batch on v5e)
@@ -200,12 +213,28 @@ def solve_two_stage(
         tree.astype(jnp.float32), tree.astype(jnp.float64), p1, p2, q,
         _cast_problem(problem, jnp.float32), _cast_problem(problem, jnp.float64),
         _cast_state(warm_state, jnp.float32) if warm_state is not None else None,
+        fused_stage1=bool(fused_stage1), batch_tile=batch_tile,
+        interpret=_interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _two_stage_jit(tree32, tree64, p1, p2, q, prob32, prob64, warm_state):
-    res1 = _solve_impl(tree32, p1, q.astype(jnp.float32), prob32, warm_state)
+@functools.partial(
+    jax.jit,
+    static_argnums=(2, 3),
+    static_argnames=("fused_stage1", "batch_tile", "interpret"),
+)
+def _two_stage_jit(tree32, tree64, p1, p2, q, prob32, prob64, warm_state,
+                   fused_stage1=False, batch_tile=256, interpret=False):
+    if fused_stage1:
+        from ..kernels.fused import _fused_body
+
+        with jax.enable_x64(False):  # keep traced literals 32-bit for Mosaic
+            res1 = _fused_body(
+                p1, batch_tile, interpret, tree32, q.astype(jnp.float32),
+                prob32, warm_state,
+            )
+    else:
+        res1 = _solve_impl(tree32, p1, q.astype(jnp.float32), prob32, warm_state)
     res2 = _solve_impl(
         tree64, p2, q.astype(jnp.float64), prob64,
         _cast_state(res1.state, jnp.float64),

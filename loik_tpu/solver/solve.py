@@ -345,7 +345,12 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
             pinf_now = normal & ~conv_now & (i > 1) & checks["primal_infeasible_now"]
         else:
             pinf_now = jnp.zeros_like(normal)
-        in_tail_next = st.in_tail | pinf_now
+        if params.tail_solve:
+            in_tail_next = st.in_tail | pinf_now
+        else:
+            # freeze certified-infeasible problems at detection instead of
+            # running the closest-feasible tail (params.tail_solve doc)
+            in_tail_next = st.in_tail
 
         # tail-mode termination: iterates stopped moving
         # (while-condition of InfeasibilityTailSolve)
@@ -381,6 +386,8 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
             ~in_tail_next & (i + 1 <= max_iter - 1)
         )
         running_next = active & ~conv_now & ~tail_done & budget_next
+        if not params.tail_solve:
+            running_next = running_next & ~pinf_now
 
         # --- merge (freeze finished problems) ---------------------------
         merged = {k: _masked_merge(active, v, getattr(st, k)) for k, v in new.items()}

@@ -190,6 +190,65 @@ def se3_act_on_sym6(R, p, H):
     return Xd @ H @ jnp.swapaxes(Xd, -1, -2)
 
 
+def exp3_quat(w):
+    """SO(3) exponential: rotation vector (..., 3) -> unit quaternion
+    (x, y, z, w) in Pinocchio/Eigen coeff order.  Taylor-guarded near 0 so
+    it is jit/grad-safe for zero rotations."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2)
+    half = 0.5 * theta
+    small = theta2 < jnp.asarray(1e-8, w.dtype)
+    # sin(theta/2)/theta -> 1/2 - theta^2/48 + O(theta^4)
+    s = jnp.where(
+        small,
+        0.5 - theta2 / 48.0,
+        jnp.sin(half) / jnp.where(small, jnp.ones_like(theta), theta),
+    )
+    xyz = s[..., None] * w
+    return jnp.concatenate([xyz, jnp.cos(half)[..., None]], axis=-1)
+
+
+def quat_mul(q1, q2):
+    """Hamilton product of (x, y, z, w) quaternions; composes rotations as
+    R(q1 * q2) = R(q1) @ R(q2)."""
+    x1, y1, z1, w1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    x2, y2, z2, w2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return jnp.stack(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ],
+        axis=-1,
+    )
+
+
+def se3_exp(v):
+    """SE(3) exponential of a twist (..., 6) [linear; angular] -> (R, p).
+
+    R = exp3(w); p = V(w) @ u with V the left-Jacobian of SO(3), both
+    Taylor-guarded at w = 0 (pure translation)."""
+    u, w = v[..., LIN], v[..., ANG]
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2)
+    small = theta2 < jnp.asarray(1e-8, v.dtype)
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    # a = sin t / t, b = (1 - cos t)/t^2, d = (t - sin t)/t^3
+    a = jnp.where(small, 1.0 - theta2 / 6.0, s / safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - c) / jnp.where(small, 1.0, theta2))
+    d = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta - s) / jnp.where(small, 1.0, theta2 * safe))
+    K = skew(w)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), K.shape)
+    R = eye + a[..., None, None] * K + b[..., None, None] * KK
+    V = eye + b[..., None, None] * K + d[..., None, None] * KK
+    p = jnp.einsum("...ij,...j->...i", V, u)
+    return R, p
+
+
 def motion_cross(v1, v2):
     """Motion cross product v1 x v2 (spatial velocity bracket), [lin; ang]."""
     w1, u1 = v1[..., ANG], v1[..., LIN]

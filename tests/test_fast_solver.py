@@ -195,3 +195,35 @@ def test_fast_f32():
         np.asarray(tree.neutral(), np.float64), fixture_problem(robots.ur5())
     )
     np.testing.assert_allclose(np.asarray(res.nu[0]), orc.nu, atol=1e-3)
+
+
+def test_tail_solve_off_freezes_at_detection():
+    # tail_solve=False must (a) flag the same problems primal-infeasible,
+    # (b) spend zero tail iterations on them, (c) leave converged problems
+    # bit-identical (the tail only touches infeasible problems)
+    import jax
+    import jax.numpy as jnp
+
+    tree = robots.panda_arm("float32")
+    b = np.zeros((1, 6)); b[0, 2] = 0.2
+    prob = make_problem(tree, (6,), b=b, lb=-4 * np.ones(7), ub=4 * np.ones(7),
+                        dtype=jnp.float32)
+    qs = tree.random_configuration(jax.random.PRNGKey(11), (256,)).astype(jnp.float32)
+    p_on = SolverParams(max_iter=64, tol_abs=2e-5, tol_rel=2e-5)
+    p_off = p_on.replace(tail_solve=False)
+    r_on = solve(tree, p_on, qs, prob)
+    r_off = solve(tree, p_off, qs, prob)
+    np.testing.assert_array_equal(np.asarray(r_on.primal_infeasible),
+                                  np.asarray(r_off.primal_infeasible))
+    np.testing.assert_array_equal(np.asarray(r_on.converged),
+                                  np.asarray(r_off.converged))
+    assert np.asarray(r_off.tail_iterations).max() == 0
+    pinf = np.asarray(r_on.primal_infeasible)
+    assert pinf.any()
+    it_on = np.asarray(r_on.iterations)
+    it_off = np.asarray(r_off.iterations)
+    assert (it_off[pinf] <= it_on[pinf]).all()
+    assert it_off[pinf].mean() < it_on[pinf].mean()
+    conv = np.asarray(r_on.converged)
+    np.testing.assert_array_equal(np.asarray(r_on.nu)[conv],
+                                  np.asarray(r_off.nu)[conv])

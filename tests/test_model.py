@@ -133,3 +133,50 @@ def test_padded_to_flat_roundtrip():
     assert flat.shape == (t.nv,)
     # first joint (free-flyer) occupies slots 0..5
     np.testing.assert_array_equal(np.asarray(flat[:6]), np.arange(6))
+
+
+class TestIntegrate:
+    def test_integrate_revolute_adds(self):
+        import numpy as np
+        from loik_tpu.model import robots
+
+        tree = robots.panda_arm()
+        q = tree.neutral()
+        dq = jnp.asarray(np.linspace(-0.2, 0.2, tree.nv))
+        q2 = tree.integrate(q, dq)
+        np.testing.assert_allclose(np.asarray(q2), np.asarray(q + dq), atol=1e-15)
+
+    def test_integrate_free_flyer_matches_fk(self):
+        # integrating a twist on the free-flyer must move oMi[0] by exactly
+        # liMi_old * exp6(dq): check against fwd_kinematics
+        import numpy as np
+        from loik_tpu import spatial
+        from loik_tpu.model import robots
+
+        tree = robots.solo12()
+        key = jax.random.PRNGKey(4)
+        q = tree.random_configuration(key)
+        dq = jnp.zeros((tree.nv,)).at[:6].set(
+            jnp.asarray([0.05, -0.02, 0.03, 0.1, -0.2, 0.15])
+        )
+        _, _, oR1, op1 = tree.fwd_kinematics(q)
+        _, _, oR2, op2 = tree.fwd_kinematics(tree.integrate(q, dq))
+        dR, dp = spatial.se3_exp(dq[:6])
+        Re, pe = spatial.se3_compose(oR1[0], op1[0], dR, dp)
+        np.testing.assert_allclose(np.asarray(oR2[0]), np.asarray(Re), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op2[0]), np.asarray(pe), atol=1e-12)
+
+    def test_integrate_keeps_quaternion_unit(self):
+        import numpy as np
+        from loik_tpu.model import robots
+
+        tree = robots.solo12()
+        q = tree.random_configuration(jax.random.PRNGKey(5), (4,))
+        dq = 0.1 * jnp.ones((4, tree.nv))
+        q2 = q
+        for _ in range(50):
+            q2 = tree.integrate(q2, dq)
+        quat = np.asarray(q2[..., 3:7])
+        np.testing.assert_allclose(
+            np.linalg.norm(quat, axis=-1), 1.0, atol=1e-12
+        )

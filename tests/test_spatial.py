@@ -119,3 +119,58 @@ def test_batching(key):
         np.testing.assert_allclose(
             np.asarray(batched[i]), np.asarray(spatial.act_motion(R[i], p[i], v[i])), atol=1e-14
         )
+
+
+class TestExpIntegrate:
+    def test_exp3_quat_matches_rotmat(self):
+        import numpy as np
+        from loik_tpu import spatial
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(16, 3)))
+        R1 = spatial.quat_to_rotmat(spatial.exp3_quat(w))
+        theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+        R2 = spatial.rotation_about_axis(w / theta, theta[..., 0])
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-12)
+
+    def test_exp3_quat_zero(self):
+        import numpy as np
+        from loik_tpu import spatial
+
+        q = spatial.exp3_quat(jnp.zeros((3,)))
+        np.testing.assert_allclose(np.asarray(q), [0, 0, 0, 1], atol=1e-15)
+
+    def test_se3_exp_pure_translation(self):
+        import numpy as np
+        from loik_tpu import spatial
+
+        v = jnp.asarray([1.0, -2.0, 3.0, 0.0, 0.0, 0.0])
+        R, p = spatial.se3_exp(v)
+        np.testing.assert_allclose(np.asarray(R), np.eye(3), atol=1e-15)
+        np.testing.assert_allclose(np.asarray(p), [1, -2, 3], atol=1e-15)
+
+    def test_se3_exp_screw_small_step_composition(self):
+        # exp(v) == exp(v/n)^n — validates V(w) against first-order stepping
+        import numpy as np
+        from loik_tpu import spatial
+
+        v = jnp.asarray([0.3, -0.1, 0.2, 0.4, 0.5, -0.6])
+        R, p = spatial.se3_exp(v)
+        n = 2048
+        Rs, ps = spatial.se3_identity()
+        dR, dp = spatial.se3_exp(v / n)
+        for _ in range(n):
+            Rs, ps = spatial.se3_compose(Rs, ps, dR, dp)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(Rs), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(ps), atol=1e-9)
+
+    def test_quat_mul_composes(self):
+        import numpy as np
+        from loik_tpu import spatial
+
+        rng = np.random.default_rng(1)
+        q1 = spatial.exp3_quat(jnp.asarray(rng.normal(size=(8, 3))))
+        q2 = spatial.exp3_quat(jnp.asarray(rng.normal(size=(8, 3))))
+        R12 = spatial.quat_to_rotmat(spatial.quat_mul(q1, q2))
+        Rr = spatial.quat_to_rotmat(q1) @ spatial.quat_to_rotmat(q2)
+        np.testing.assert_allclose(np.asarray(R12), np.asarray(Rr), atol=1e-12)

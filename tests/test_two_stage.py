@@ -51,3 +51,22 @@ def test_two_stage_stage2_is_short():
     conv = np.asarray(res.converged)
     stage2_iters = np.asarray(res.state.iterations)[conv]
     assert stage2_iters.mean() <= 6.0, stage2_iters
+
+
+def test_two_stage_fused_stage1_matches_xla_stage1():
+    # interpret-mode Pallas on CPU: the fused stage-1 must reproduce the XLA
+    # stage-1 bit-for-bit (same loop body), so the combined results agree
+    tree, prob, qs = _workload(B=32, seed=2)
+    r_xla = solve_two_stage(tree, PARAMS, qs, prob, fused_stage1=False)
+    r_fus = solve_two_stage(
+        tree, PARAMS, qs, prob, fused_stage1=True, batch_tile=16,
+        _interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_xla.converged), np.asarray(r_fus.converged)
+    )
+    conv = np.asarray(r_xla.converged)
+    np.testing.assert_allclose(
+        np.asarray(r_xla.nu)[conv], np.asarray(r_fus.nu)[conv],
+        rtol=0, atol=1e-9,
+    )
