@@ -47,6 +47,9 @@ def main():
                          "from 22 to 16 on the bench problem vs the reference "
                          "fixture defaults, at equal convergence)")
     ap.add_argument("--mu-eq-scale", type=float, default=1e5)
+    ap.add_argument("--batch-tile", type=int, default=None,
+                    help="fused-kernel batch tile (default: auto by joint "
+                         "count)")
     ap.add_argument("--tail-solve", action="store_true",
                     help="run the closest-feasible tail on certified-"
                          "infeasible problems (off by default: the bench "
@@ -101,7 +104,7 @@ def main():
     if args.mode == "two-stage":
         run = lambda q: solve_two_stage(
             tree, params, q, problem, stage1_max_iter=args.stage1_max_iter,
-            stage2_max_iter=args.stage2_max_iter)
+            stage2_max_iter=args.stage2_max_iter, batch_tile=args.batch_tile)
     else:
         run = lambda q: solve(tree, params, q, problem)
 

@@ -13,6 +13,7 @@ Shapes: R (..., 3, 3, B), p (..., 3, B), motions/forces (..., 6, B),
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 LIN = slice(0, 3)
@@ -143,3 +144,55 @@ def act_sym6(R, p, H):
 def inf_norm_b(x):
     """Inf-norm over all axes except the trailing batch -> (B,)."""
     return jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
+
+
+def spd_inv(D):
+    """Inverse of a small SPD matrix (..., k, k, B) by fully unrolled
+    Cholesky + triangular inverse: every op is elementwise over the trailing
+    lanes, so it lowers in Mosaic (jnp.linalg.inv does not) and avoids the
+    XLA path's batch transposes around LAPACK-shaped kernels.  k is static
+    and tiny (joint dof: 1/3/6); D = S'HS + mu*I is SPD by construction."""
+    k = D.shape[-2]
+    if k == 1:
+        return 1.0 / D
+
+    def pick(i, j):
+        return _sq(_sq(D[..., i : i + 1, j : j + 1, :], -2), -2)
+
+    d = [[pick(i, j) for j in range(k)] for i in range(k)]
+    # Cholesky: D = L L^T, L lower with positive diagonal
+    L = [[None] * k for _ in range(k)]
+    Ldi = [None] * k  # 1 / L[j][j]
+    for j in range(k):
+        s = d[j][j]
+        for p in range(j):
+            s = s - L[j][p] * L[j][p]
+        Ldi[j] = jax.lax.rsqrt(s)
+        L[j][j] = s * Ldi[j]  # sqrt(s)
+        for i in range(j + 1, k):
+            s = d[i][j]
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
+            L[i][j] = s * Ldi[j]
+    # M = L^{-1} (lower): M[i][i] = 1/L[i][i];
+    # M[i][j] = -(sum_{p=j}^{i-1} L[i][p] M[p][j]) / L[i][i]
+    M = [[None] * k for _ in range(k)]
+    for i in range(k):
+        M[i][i] = Ldi[i]
+        for j in range(i):
+            s = L[i][j] * M[j][j]
+            for p in range(j + 1, i):
+                s = s + L[i][p] * M[p][j]
+            M[i][j] = -s * Ldi[i]
+    # D^{-1} = M^T M; entry (i,j) sums over p >= max(i,j)
+    rows = []
+    for i in range(k):
+        cols = []
+        for j in range(k):
+            lo = max(i, j)
+            s = M[lo][i] * M[lo][j]
+            for p in range(lo + 1, k):
+                s = s + M[p][i] * M[p][j]
+            cols.append(s)
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)

@@ -29,6 +29,15 @@ from .solve import _solve_impl, solve
 from .state import SolveResult, SolverState
 
 
+def default_batch_tile(njoints: int) -> int:
+    """Fused-kernel batch tile sized so the per-tile VMEM working set
+    (~dozens of (N,6,6,bt) f32 SSA values) stays inside budget: N=7 at
+    bt=512 compiles while bt=1024 does not, so hold N*bt <~ 2048 where
+    possible.  128 is the floor — Mosaic requires the lane-axis block to be
+    a multiple of 128."""
+    return 256 if njoints * 256 <= 2048 else 128
+
+
 def _cast_state(st: SolverState, dtype) -> SolverState:
     def cast(x):
         if x is None:
@@ -156,7 +165,7 @@ def solve_two_stage(
     stage2_mu_eq_scale: float = 1e6,
     warm_state: Optional[SolverState] = None,
     fused_stage1: Optional[bool] = None,
-    batch_tile: int = 256,
+    batch_tile: Optional[int] = None,
     _interpret: bool = False,
 ) -> SolveResult:
     """Solve at params.tol_abs/tol_rel accuracy using f32 for the bulk and a
@@ -200,6 +209,8 @@ def solve_two_stage(
     # ADMM loop stays in VMEM per batch tile and each tile stops at ITS OWN
     # max iteration count instead of the global batch max (measured 36 ->
     # 31 ms per 16k-problem stage 1 on v5e)
+    if batch_tile is None:
+        batch_tile = default_batch_tile(tree.njoints)
     if fused_stage1 is None:
         fused_stage1 = (
             jax.default_backend() == "tpu"

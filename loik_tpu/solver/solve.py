@@ -115,9 +115,18 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     pieces needed for flag/penalty updates.  Pure function of the state."""
     N, K = tree.njoints, tree.nv_max
     dtype = st.vis.dtype
-    # S leaves are traced (they derive from the tree's axis leaf); kept as
-    # (6, k, 1) so the trailing-batch helpers broadcast them across B
-    S = [tree.joint_S(i).astype(dtype)[:, :, None] for i in range(N)]
+    B = st.vis.shape[-1]
+    # S leaves are traced (they derive from the tree's axis leaf), broadcast
+    # to the full (6, k, B) tile up front: a shared (6, k, 1) operand makes
+    # k>1 contractions broadcast in sublanes AND lanes at once, which Mosaic
+    # rejects ("Broadcast in both sublanes and lanes"); XLA fuses the
+    # explicit broadcast into consumers either way
+    S = [
+        jnp.broadcast_to(
+            tree.joint_S(i).astype(dtype)[:, :, None], (6, tree.nvs[i], B)
+        )
+        for i in range(N)
+    ]
     nvs, parents = tree.nvs, tree.parents
     c_links = prob.constraint_links
     mu_eq = st.mu_eq  # (B,)
@@ -127,7 +136,6 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     # weak-f64 scalars under x64, which the Mosaic kernel lowering rejects
     rho = jnp.asarray(params.rho, dtype)
     zero = jnp.asarray(0.0, dtype)
-    one = jnp.asarray(1.0, dtype)
     tol_abs = jnp.asarray(params.tol_abs, dtype)
     tol_rel = jnp.asarray(params.tol_rel, dtype)
     tol_primal_inf = jnp.asarray(params.tol_primal_inf, dtype)
@@ -165,12 +173,9 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
         Di = bsp.mtm(Si, Ui)                               # S^T H S (k,k,B)
         Ri = mu_ineq * jnp.eye(k, dtype=dtype)[:, :, None]
         Di = Di + Ri
-        if k == 1:
-            Dinv_i = one / Di
-        else:
-            Dinv_i = jnp.moveaxis(
-                jnp.linalg.inv(jnp.moveaxis(Di, -1, 0)), 0, -1
-            )
+        # unrolled SPD Cholesky inverse: Mosaic-lowerable (linalg.inv's LU is
+        # not) and free of the XLA batch transposes around LAPACK kernels
+        Dinv_i = bsp.spd_inv(Di)
         ri = r[i, :k] + bsp.mtv(Si, pi)                    # r + S^T p  (k,B)
         Dinv[i], U[i], r_tot[i] = Dinv_i, Ui, ri
         par = parents[i]
@@ -185,7 +190,6 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     vis_new_list = [None] * N
     fis_new_list = [None] * N
     nu_new_list = [None] * N
-    B = st.vis.shape[-1]
     zero6 = jnp.zeros((6, B), dtype)
     for i in range(N):
         par = parents[i]

@@ -227,3 +227,16 @@ def test_tail_solve_off_freezes_at_detection():
     conv = np.asarray(r_on.converged)
     np.testing.assert_array_equal(np.asarray(r_on.nu)[conv],
                                   np.asarray(r_off.nu)[conv])
+
+
+def test_spd_inv_matches_linalg_inv():
+    import jax.numpy as jnp
+    from loik_tpu.solver import batched_spatial as bsp
+
+    rng = np.random.default_rng(7)
+    for k in (1, 2, 3, 6):
+        A = rng.normal(size=(5, k, k, 16))
+        D = np.einsum("...ijb,...kjb->...ikb", A, A) + 0.1 * np.eye(k)[:, :, None]
+        got = np.asarray(bsp.spd_inv(jnp.asarray(D)))
+        want = np.linalg.inv(np.moveaxis(D, -1, 1))
+        np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-9)
