@@ -29,9 +29,11 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--b3", type=float, default=0.2, help="commanded EE v_z")
     ap.add_argument("--mode", default="two-stage",
-                    choices=["f32", "f64", "two-stage"],
+                    choices=["f32", "f64", "two-stage", "tracking"],
                     help="two-stage = f32 bulk + warm f64 refinement (the "
-                         "tol-1e-6 path; f32 alone floors ~1e-5)")
+                         "tol-1e-6 path; f32 alone floors ~1e-5); tracking = "
+                         "warm-started per-tick latency (the 1 kHz control-"
+                         "loop metric, f32)")
     ap.add_argument("--stage1-max-iter", type=int, default=32,
                     help="two-stage: f32 stage-1 iteration cap (past ~4x the "
                          "p99 the stragglers are stage-2 work anyway, and the "
@@ -67,7 +69,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
     if args.mode == "f64":
         args.dtype = "float64"
-    elif args.mode == "f32":
+    elif args.mode in ("f32", "tracking"):
         args.dtype = "float32"
     import jax.numpy as jnp
 
@@ -100,6 +102,60 @@ def main():
     q_batches = [
         tree.random_configuration(k, (B,)).astype(dtype) for k in keys
     ]
+
+    if args.mode == "tracking":
+        # per-tick warm-started tracking latency (reference tailored-timing
+        # protocol, tests/loik-loid.cpp:1035-1078, batched): every tick
+        # updates ONE constraint target and re-solves from the last duals;
+        # the metric is wall latency per tick vs the 1 kHz control budget
+        from loik_tpu.api import DiffIkSolver
+
+        ee = tree.njoints - 1
+        solver = DiffIkSolver(tree, params.replace(warm_start=True), (ee,),
+                              problem=problem)
+        q = tree.random_configuration(keys[0], (B,)).astype(dtype)
+        ticks = max(50, R)
+        for t in range(5):  # compile + settle duals
+            res = solver.solve_tracking(q, ee, b=jnp.asarray(b[0], dtype))
+        res.converged.block_until_ready()
+        lat = []
+        for t in range(ticks):
+            bt = b[0].copy()
+            bt[2] = args.b3 * np.cos(2 * np.pi * t / ticks)
+            t0 = time.perf_counter()
+            res = solver.solve_tracking(q, ee, b=jnp.asarray(bt, dtype))
+            res.converged.block_until_ready()
+            lat.append(time.perf_counter() - t0)
+        p50_ms = float(np.percentile(lat, 50) * 1e3)
+        # pipelined: enqueue ticks without per-tick sync (a real controller
+        # overlaps device compute with I/O; ticks stay ordered through the
+        # warm-state dependency) — sustained rate, amortizing host RTT
+        t0 = time.perf_counter()
+        for t in range(ticks):
+            bt = b[0].copy()
+            bt[2] = args.b3 * np.sin(2 * np.pi * t / ticks)
+            res = solver.solve_tracking(q, ee, b=jnp.asarray(bt, dtype))
+        res.converged.block_until_ready()
+        pipe_ms = (time.perf_counter() - t0) / ticks * 1e3
+        if args.verbose:
+            it = np.asarray(res.iterations)
+            print(
+                f"# tracking B={B} ticks={ticks} p50={p50_ms:.3f}ms "
+                f"pipelined={pipe_ms:.3f}ms/tick "
+                f"conv={float(np.asarray(res.converged).mean()):.3f} "
+                f"warm iters mean={it.mean():.1f} max={int(it.max())} "
+                f"backend={jax.devices()[0].platform}",
+                file=sys.stderr,
+            )
+        print(json.dumps({
+            "metric": "sustained tracking tick (%s, tol %g, B=%d controllers"
+                      ", pipelined; sync p50 %.2f ms)"
+                      % (args.robot, args.tol, B, p50_ms),
+            "value": round(pipe_ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(1.0 / pipe_ms, 4),  # 1 kHz budget / actual
+        }))
+        return
 
     if args.mode == "two-stage":
         run = lambda q: solve_two_stage(

@@ -8,6 +8,9 @@ bounds — solved here for a BATCH of configurations at once.
 Run:  python examples/01_basic_solve.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

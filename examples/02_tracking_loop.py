@@ -8,6 +8,9 @@ sinusoid with the Panda EE, integrating q with the solved velocities.
 Run:  python examples/02_tracking_loop.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
 import jax.numpy as jnp
 import numpy as np
 

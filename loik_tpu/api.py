@@ -12,15 +12,28 @@ allocate-once contract (SURVEY.md §7 hard part 6).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .params import SolverParams
 from .problem import IkProblem, make_problem
 from .solver import solve
+from .solver.solve import _solve_impl
 from .solver.state import SolveResult, SolverState
+
+
+# One device program per tick: the tailored constraint update happens INSIDE
+# the jit so a tracking tick costs a single dispatch (+ the small b/A
+# transfer) instead of separate scatter dispatches per update — on a
+# remote-attached TPU each extra dispatch is a host round-trip
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _tracking_jit(tree, params, slot, q, problem, A, b, warm_state):
+    problem = problem.update_constraint(slot, A=A, b=b)
+    return _solve_impl(tree, params, q, problem, warm_state), problem
 
 
 class DiffIkSolver:
@@ -98,10 +111,20 @@ class DiffIkSolver:
     def solve_tracking(self, q, link: int, A=None, b=None) -> SolveResult:
         """Per-tick tracking solve: update ONE constraint target and re-solve,
         warm-starting duals from the previous tick when params.warm_start
-        (the 1 kHz path, loik-loid-optimized.hpp:596-695)."""
-        self.update_eq_constraint(link, A=A, b=b)
-        res = solve(self.tree, self.params, q, self.problem,
-                    self._state if self.params.warm_start else None)
+        (the 1 kHz path, loik-loid-optimized.hpp:596-695).  The update and
+        the solve run as one device program per tick."""
+        if link not in self.constraint_links:
+            raise ValueError(f"no constraint at link {link}")
+        slot = self.constraint_links.index(link)
+        q = jnp.asarray(q)
+        if q.ndim == 1:
+            q = q[None]
+        res, self.problem = _tracking_jit(
+            self.tree, self.params, slot, q, self.problem,
+            None if A is None else jnp.asarray(A),
+            None if b is None else jnp.asarray(b),
+            self._state if self.params.warm_start else None,
+        )
         self._state = res.state
         self.last_result = res
         return res
