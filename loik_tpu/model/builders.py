@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .tree import FREE_FLYER, PRISMATIC, REVOLUTE, KinematicTree, make_tree
+from .tree import (FREE_FLYER, PRISMATIC, REVOLUTE, SPHERICAL, KinematicTree,
+                   make_tree)
 
 
 def serial_chain(n: int, jtype: int = REVOLUTE, link_length: float = 0.3,
@@ -31,9 +32,11 @@ def serial_chain(n: int, jtype: int = REVOLUTE, link_length: float = 0.3,
 
 def random_tree(rng: np.random.Generator, n_joints: int,
                 floating_base: bool = False,
-                allow_prismatic: bool = True, name: str = "random") -> KinematicTree:
+                allow_prismatic: bool = True,
+                allow_spherical: bool = False,
+                name: str = "random") -> KinematicTree:
     """Random topology (each joint's parent drawn from earlier joints),
-    random placements and axes, mixed revolute/prismatic joints."""
+    random placements and axes, mixed revolute/prismatic(/spherical) joints."""
     joints = []
     start = 0
     if floating_base:
@@ -42,8 +45,11 @@ def random_tree(rng: np.random.Generator, n_joints: int,
     for i in range(start, n_joints):
         parent = -1 if i == 0 else int(rng.integers(0, i))
         t = REVOLUTE
-        if allow_prismatic and rng.random() < 0.25:
+        u = rng.random()
+        if allow_prismatic and u < 0.25:
             t = PRISMATIC
+        elif allow_spherical and u > 0.75:
+            t = SPHERICAL
         axis = rng.normal(size=3)
         axis /= np.linalg.norm(axis)
         joints.append(

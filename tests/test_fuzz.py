@@ -84,3 +84,28 @@ def test_fuzz_star_topology():
     orc = OracleSolver(tree, PARAMS).solve(np.asarray(q), problem)
     assert bool(res.converged[0]) == orc.converged
     np.testing.assert_allclose(np.asarray(res.nu[0]), orc.nu, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_spherical_joints_parity(seed):
+    """Spherical (3-dof) joints through the 3x3 SPD D-block path, fast vs
+    oracle (the reference covers spherical via pinocchio's generic visitor;
+    here the k=3 Cholesky branch of spd_inv)."""
+    rng = np.random.default_rng(100 + seed)
+    tree = random_tree(rng, int(rng.integers(4, 9)),
+                       floating_base=bool(seed % 2), allow_spherical=True)
+    if 3 not in set(tree.jtypes):  # SPHERICAL code is 3
+        joints_types = set(tree.jtypes)
+        pytest.skip(f"no spherical joint drawn (types={joints_types})")
+    c_links = (tree.leaf_joints[-1],)
+    b = rng.uniform(-0.2, 0.2, size=(1, 6))
+    problem = make_problem(
+        tree, c_links, b=b,
+        lb=-3.0 * np.ones(tree.nv), ub=3.0 * np.ones(tree.nv),
+    )
+    q = tree.random_configuration(jax.random.PRNGKey(seed))
+    res = solve(tree, PARAMS, q, problem)
+    orc = OracleSolver(tree, PARAMS).solve(np.asarray(q), problem)
+    assert bool(res.converged[0]) == orc.converged
+    assert int(res.iterations[0]) == orc.iterations
+    np.testing.assert_allclose(np.asarray(res.nu[0]), orc.nu, atol=1e-9)
