@@ -252,7 +252,7 @@ class KinematicTree:
                 p = out[..., iq : iq + 3]
                 quat = out[..., iq + 3 : iq + 7]
                 R = spatial.quat_to_rotmat(quat)
-                _, dp = spatial.se3_exp(dq[..., iv : iv + 6])
+                dp = spatial.se3_exp_translation(dq[..., iv : iv + 6])
                 p_new = p + jnp.einsum("...ij,...j->...i", R, dp)
                 # rotation updates in quaternion space (no rotmat->quat)
                 dquat = spatial.exp3_quat(dq[..., iv + 3 : iv + 6])

@@ -19,6 +19,7 @@ math exactly (e.g. ``liMi.toDualActionMatrix()`` in loik-loid.hxx:106 is
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 LIN = slice(0, 3)
 ANG = slice(3, 6)
@@ -190,22 +191,33 @@ def se3_act_on_sym6(R, p, H):
     return Xd @ H @ jnp.swapaxes(Xd, -1, -2)
 
 
+def _small_angle_cutoff(dtype):
+    """theta^2 below which the Taylor branch beats the closed form.  The
+    closed-form coefficients (1-cos t)/t^2 and (t-sin t)/t^3 cancel
+    catastrophically with relative error ~eps/t^2, while the two-term Taylor
+    truncates at ~t^4/e2e1; the crossover is t^2 ~ sqrt(eps) — dtype-
+    DEPENDENT (1.7e-3 in f32, 7e-8 in f64; a fixed f64-tuned 1e-8 cutoff
+    leaves f32 100% wrong for per-tick integration steps ~1e-4..1e-3 rad)."""
+    return 5.0 * float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+
+
 def exp3_quat(w):
     """SO(3) exponential: rotation vector (..., 3) -> unit quaternion
-    (x, y, z, w) in Pinocchio/Eigen coeff order.  Taylor-guarded near 0 so
-    it is jit/grad-safe for zero rotations."""
+    (x, y, z, w) in Pinocchio/Eigen coeff order.  Taylor-guarded near 0 with
+    a dtype-aware cutoff; grad-safe at w = 0 (the sqrt argument is masked
+    before the sqrt, so no NaN leaks through the untaken branch)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
-    half = 0.5 * theta
-    small = theta2 < jnp.asarray(1e-8, w.dtype)
+    small = theta2 < jnp.asarray(_small_angle_cutoff(w.dtype), w.dtype)
+    theta = jnp.sqrt(jnp.where(small, jnp.ones_like(theta2), theta2))
     # sin(theta/2)/theta -> 1/2 - theta^2/48 + O(theta^4)
-    s = jnp.where(
+    s = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(0.5 * theta) / theta)
+    # cos(theta/2) -> 1 - theta^2/8 + theta^4/384
+    c = jnp.where(
         small,
-        0.5 - theta2 / 48.0,
-        jnp.sin(half) / jnp.where(small, jnp.ones_like(theta), theta),
+        1.0 - theta2 / 8.0 + theta2 * theta2 / 384.0,
+        jnp.cos(0.5 * theta),
     )
-    xyz = s[..., None] * w
-    return jnp.concatenate([xyz, jnp.cos(half)[..., None]], axis=-1)
+    return jnp.concatenate([s[..., None] * w, c[..., None]], axis=-1)
 
 
 def quat_mul(q1, q2):
@@ -224,24 +236,43 @@ def quat_mul(q1, q2):
     )
 
 
+def _so3_coeffs(w):
+    """(a, b, d, K, KK) with a = sin t/t, b = (1-cos t)/t^2,
+    d = (t-sin t)/t^3 for t = |w| — dtype-aware Taylor cutoff (see
+    `_small_angle_cutoff`), grad-safe at w = 0."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < jnp.asarray(_small_angle_cutoff(w.dtype), w.dtype)
+    safe2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(safe2)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, s / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - c) / safe2)
+    d = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - s) / (safe2 * theta))
+    K = skew(w)
+    return a, b, d, K, K @ K
+
+
+def se3_exp_translation(v):
+    """Translation part of the SE(3) exponential: p = V(w) @ u with V the
+    left-Jacobian of SO(3) (rotation available separately as exp3_quat —
+    callers integrating quaternion state need only this half)."""
+    u, w = v[..., LIN], v[..., ANG]
+    _, b, d, K, KK = _so3_coeffs(w)
+    V = (
+        jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), K.shape)
+        + b[..., None, None] * K
+        + d[..., None, None] * KK
+    )
+    return jnp.einsum("...ij,...j->...i", V, u)
+
+
 def se3_exp(v):
     """SE(3) exponential of a twist (..., 6) [linear; angular] -> (R, p).
 
     R = exp3(w); p = V(w) @ u with V the left-Jacobian of SO(3), both
-    Taylor-guarded at w = 0 (pure translation)."""
+    Taylor-guarded at w = 0 (pure translation) with a dtype-aware cutoff."""
     u, w = v[..., LIN], v[..., ANG]
-    theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
-    small = theta2 < jnp.asarray(1e-8, v.dtype)
-    safe = jnp.where(small, jnp.ones_like(theta), theta)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    # a = sin t / t, b = (1 - cos t)/t^2, d = (t - sin t)/t^3
-    a = jnp.where(small, 1.0 - theta2 / 6.0, s / safe)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - c) / jnp.where(small, 1.0, theta2))
-    d = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - s) / jnp.where(small, 1.0, theta2 * safe))
-    K = skew(w)
-    KK = K @ K
+    a, b, d, K, KK = _so3_coeffs(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), K.shape)
     R = eye + a[..., None, None] * K + b[..., None, None] * KK
     V = eye + b[..., None, None] * K + d[..., None, None] * KK

@@ -174,3 +174,35 @@ class TestExpIntegrate:
         R12 = spatial.quat_to_rotmat(spatial.quat_mul(q1, q2))
         Rr = spatial.quat_to_rotmat(q1) @ spatial.quat_to_rotmat(q2)
         np.testing.assert_allclose(np.asarray(R12), np.asarray(Rr), atol=1e-12)
+
+    def test_se3_exp_f32_small_angles(self):
+        # f32 regression: theta in [1e-4, 1e-3] used to hit the cancellation
+        # zone of (1-cos t)/t^2 with an f64-tuned cutoff, zeroing the
+        # rotational coupling of the translation (found in review)
+        import numpy as np
+        from loik_tpu import spatial
+
+        for theta in (2e-4, 5e-4, 2e-3):
+            v32 = jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0, theta], jnp.float32)
+            _, p32 = spatial.se3_exp(v32)
+            _, p64 = spatial.se3_exp(v32.astype(jnp.float64))
+            np.testing.assert_allclose(
+                np.asarray(p32), np.asarray(p64), rtol=1e-5,
+                err_msg=f"theta={theta}",
+            )
+            assert abs(float(p32[1]) - theta / 2) < 1e-7, theta
+
+    def test_exp_maps_grad_safe_at_zero(self):
+        import numpy as np
+        from loik_tpu import spatial
+
+        g1 = jax.grad(lambda w: spatial.exp3_quat(w)[3])(jnp.zeros(3))
+        assert np.isfinite(np.asarray(g1)).all()
+        g2 = jax.jacobian(
+            lambda v: spatial.se3_exp(v)[1]
+        )(jnp.zeros(6).at[0].set(1.0))
+        assert np.isfinite(np.asarray(g2)).all()
+        g3 = jax.jacobian(spatial.se3_exp_translation)(
+            jnp.zeros(6).at[1].set(0.5)
+        )
+        assert np.isfinite(np.asarray(g3)).all()
