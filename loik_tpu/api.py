@@ -93,6 +93,26 @@ class DiffIkSolver:
         self.last_result = res
         return res
 
+    def solve_refined(self, q, problem: Optional[IkProblem] = None,
+                      **two_stage_kw) -> SolveResult:
+        """Tight-tolerance solve via the two-stage mixed-precision path
+        (f32 bulk + warm f64 refinement; on TPU the f32 stage runs as the
+        fused Pallas kernel).  Use for tol below the ~1e-5 f32 floor;
+        keyword args forward to `solver.refine.solve_two_stage`."""
+        from .solver.refine import solve_two_stage
+
+        if problem is not None:
+            self.problem = problem
+        res = solve_two_stage(
+            self.tree, self.params, q, self.problem,
+            warm_state=self._state if self.params.warm_start else None,
+            **two_stage_kw,
+        )
+        self._state = res.state
+        self._q = q
+        self.last_result = res
+        return res
+
     def solve_init(self, q, problem: Optional[IkProblem] = None):
         """SolveInit/Solve split: freeze FK at q, then `resolve()` re-runs
         only the main loop (timing harness pattern, loik-loid-optimized.hpp:

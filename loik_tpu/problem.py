@@ -59,9 +59,13 @@ class IkProblem:
         ik-id-description-optimized.hpp:178-238): new pytree, same shapes."""
         new = self
         if A is not None:
-            new = new.replace(A=new.A.at[..., slot, :, :].set(A))
+            new = new.replace(
+                A=new.A.at[..., slot, :, :].set(jnp.asarray(A, new.A.dtype))
+            )
         if b is not None:
-            new = new.replace(b=new.b.at[..., slot, :].set(b))
+            new = new.replace(
+                b=new.b.at[..., slot, :].set(jnp.asarray(b, new.b.dtype))
+            )
         return new
 
 

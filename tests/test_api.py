@@ -98,3 +98,18 @@ def test_reset_drops_warm_state():
     assert s.state is None
     r = s.solve(tree.neutral())  # cold again, must not error
     assert bool(r.converged[0])
+
+
+def test_solve_refined_certifies_tight_tol():
+    tree = robots.panda_arm("float32")
+    params = SolverParams(max_iter=200, tol_abs=1e-6, tol_rel=1e-6)
+    solver = DiffIkSolver(tree, params, (6,))
+    solver.update_ineq_constraints(-4 * np.ones(7), 4 * np.ones(7))
+    solver.update_eq_constraint(6, b=np.array([0, 0, 0.2, 0, 0, 0.0]))
+    qs = tree.random_configuration(jax.random.PRNGKey(9), (32,)).astype(
+        jnp.float32)
+    res = solver.solve_refined(qs)
+    conv = np.asarray(res.converged)
+    assert conv.mean() > 0.6
+    assert res.nu.dtype == jnp.float64  # refinement reports in f64
+    assert np.asarray(res.primal_residual)[conv].max() < 1e-5
