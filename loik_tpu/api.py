@@ -48,6 +48,7 @@ class DiffIkSolver:
         )
         self._state: Optional[SolverState] = None
         self._q = None
+        self._liMi = None
         self.last_result: Optional[SolveResult] = None
 
     # ------------------------------------------------------------------ #
@@ -116,15 +117,26 @@ class DiffIkSolver:
     def solve_init(self, q, problem: Optional[IkProblem] = None):
         """SolveInit/Solve split: freeze FK at q, then `resolve()` re-runs
         only the main loop (timing harness pattern, loik-loid-optimized.hpp:
-        335-361; equality with the monolithic overload is test-asserted)."""
+        335-361; equality with the monolithic overload is test-asserted).
+        FK runs ONCE here; `resolve()` reuses the cached liMi — like the
+        reference, whose split exists precisely to avoid re-running FK."""
+        from .solver.solve import fwd_pass_init_jit
+
         if problem is not None:
             self.problem = problem
+        q = jnp.asarray(q)
+        if q.ndim == 1:
+            q = q[None]
         self._q = q
+        self._liMi = fwd_pass_init_jit(self.tree, q)
 
     def resolve(self) -> SolveResult:
         if self._q is None:
             raise RuntimeError("call solve_init first")
-        res = solve(self.tree, self.params, self._q, self.problem, None)
+        from .solver.solve import solve_from_fk
+
+        res = solve_from_fk(self.tree, self.params, self._liMi[0],
+                            self._liMi[1], self.problem, None)
         self.last_result = res
         return res
 

@@ -34,9 +34,14 @@ def random_tree(rng: np.random.Generator, n_joints: int,
                 floating_base: bool = False,
                 allow_prismatic: bool = True,
                 allow_spherical: bool = False,
+                force_spherical: bool = False,
                 name: str = "random") -> KinematicTree:
     """Random topology (each joint's parent drawn from earlier joints),
-    random placements and axes, mixed revolute/prismatic(/spherical) joints."""
+    random placements and axes, mixed revolute/prismatic(/spherical) joints.
+
+    `force_spherical` guarantees at least one spherical joint (the last
+    non-base joint) regardless of the draws — fuzz tests that target the
+    3-dof D-block path must not depend on RNG luck."""
     joints = []
     start = 0
     if floating_base:
@@ -49,6 +54,8 @@ def random_tree(rng: np.random.Generator, n_joints: int,
         if allow_prismatic and u < 0.25:
             t = PRISMATIC
         elif allow_spherical and u > 0.75:
+            t = SPHERICAL
+        if force_spherical and i == n_joints - 1:
             t = SPHERICAL
         axis = rng.normal(size=3)
         axis /= np.linalg.norm(axis)

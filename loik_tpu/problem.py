@@ -69,6 +69,53 @@ class IkProblem:
         return new
 
 
+def validate_problem(tree, problem: IkProblem) -> None:
+    """Input validation — the `checkIkIdData` analog
+    (loik-loid-data.hpp:244-321): reject out-of-range or duplicate constraint
+    links, mis-shaped leaves, and lb > ub with clear errors instead of
+    silently mis-solving.  Shape checks always run; the lb<=ub value check
+    runs only on concrete (non-tracer) arrays."""
+    import numpy as np
+
+    N, nv, nc = tree.njoints, tree.nv, problem.num_constraints
+    for c in problem.constraint_links:
+        if not (0 <= c < N):
+            raise ValueError(
+                f"constraint link {c} out of range [0, {N}) for model "
+                f"'{tree.name}'"
+            )
+    if len(set(problem.constraint_links)) != nc:
+        raise ValueError(
+            f"duplicate constraint links {problem.constraint_links}: each "
+            "link may carry at most one 6-D equality constraint (matching "
+            "the reference's one-slot-per-link formulation)"
+        )
+
+    def chk(name, arr, core):
+        shape = tuple(jnp.shape(arr))
+        if len(shape) < len(core) or shape[len(shape) - len(core):] != core:
+            raise ValueError(
+                f"{name} has shape {shape}; expected trailing dims {core} "
+                f"(optionally with one leading batch dim)"
+            )
+        if len(shape) > len(core) + 1:
+            raise ValueError(
+                f"{name} has shape {shape}: at most one leading batch dim "
+                f"over core shape {core}"
+            )
+
+    chk("H_ref", problem.H_ref, (N, 6, 6))
+    chk("v_ref", problem.v_ref, (N, 6))
+    chk("A", problem.A, (nc, 6, 6))
+    chk("b", problem.b, (nc, 6))
+    chk("lb", problem.lb, (nv,))
+    chk("ub", problem.ub, (nv,))
+    lb, ub = problem.lb, problem.ub
+    if not (isinstance(lb, jax.core.Tracer) or isinstance(ub, jax.core.Tracer)):
+        if np.any(np.asarray(lb) > np.asarray(ub)):
+            raise ValueError("lb > ub: box bounds are contradictory")
+
+
 def make_problem(
     tree,
     constraint_links,
@@ -100,7 +147,7 @@ def make_problem(
         lb = -vl.astype(dt)
     if ub is None:
         ub = vl.astype(dt)
-    return IkProblem(
+    problem = IkProblem(
         H_ref=jnp.asarray(H_ref, dt),
         v_ref=jnp.asarray(v_ref, dt),
         A=jnp.asarray(A, dt),
@@ -109,3 +156,5 @@ def make_problem(
         ub=jnp.asarray(ub, dt),
         constraint_links=tuple(int(c) for c in constraint_links),
     )
+    validate_problem(tree, problem)
+    return problem

@@ -499,19 +499,28 @@ def _flat_nu(tree, padded):
 
 
 def _solve_impl(tree, params: SolverParams, q, problem: IkProblem,
-                warm_state: Optional[SolverState]):
+                warm_state: Optional[SolverState], liMi=None):
     # On TPU the default matmul precision lowers f32 einsum operands to
     # bfloat16 on the MXU — ~3 significant digits, which stalls the ADMM
     # recursion far above tolerance (0/1024 convergence at tol 1e-4 in
     # testing).  The sweeps are tiny 6x6 contractions; force full f32.
     with jax.default_matmul_precision("highest"):
-        return _solve_impl_inner(tree, params, q, problem, warm_state)
+        return _solve_impl_inner(tree, params, q, problem, warm_state, liMi)
 
 
 def _solve_impl_inner(tree, params: SolverParams, q, problem: IkProblem,
-                      warm_state: Optional[SolverState]):
-    dtype = q.dtype
-    B = q.shape[0]
+                      warm_state: Optional[SolverState], liMi=None):
+    if liMi is None:
+        dtype = q.dtype
+        B = q.shape[0]
+        liMi_R, liMi_p = fwd_pass_init(tree, q)
+    else:
+        # FK frozen by the caller (SolveInit/Solve split: the reference's
+        # split exists to avoid recomputing FK per re-solve,
+        # loik-loid-optimized.hpp:335-361)
+        liMi_R, liMi_p = liMi
+        dtype = liMi_R.dtype
+        B = liMi_R.shape[-1]
     prob = prepare_problem(tree, problem, B, dtype)
     if warm_state is None:
         st = init_state(tree, B, problem.num_constraints, dtype,
@@ -519,7 +528,6 @@ def _solve_impl_inner(tree, params: SolverParams, q, problem: IkProblem,
     else:
         st = warm_state
     st = _reset_state(tree, params, st, dtype)
-    liMi_R, liMi_p = fwd_pass_init(tree, q)
     st = dataclasses.replace(st, liMi_R=liMi_R, liMi_p=liMi_p)
     st = _solve_loop(tree, prob, params, st)
 
@@ -550,6 +558,29 @@ def _solve_jit(tree, params, q, problem, warm_state):
     return _solve_impl(tree, params, q, problem, warm_state)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _solve_fk_jit(tree, params, liMi_R, liMi_p, problem, warm_state):
+    return _solve_impl(tree, params, None, problem, warm_state,
+                       liMi=(liMi_R, liMi_p))
+
+
+@jax.jit
+def fwd_pass_init_jit(tree, q):
+    """Jitted FK in the solver's trailing-batch layout; the SolveInit half of
+    the split-solve protocol (loik-loid-optimized.hpp:335-361)."""
+    return fwd_pass_init(tree, q)
+
+
+def solve_from_fk(tree, params: SolverParams, liMi_R, liMi_p,
+                  problem: IkProblem,
+                  warm_state: Optional[SolverState] = None) -> SolveResult:
+    """Solve with FK frozen: takes (liMi_R, liMi_p) from `fwd_pass_init_jit`
+    instead of q, so repeated re-solves never redo the FK sweep — the
+    `SolveInit()` + `Solve()` split of the reference
+    (loik-loid-optimized.hpp:335-361)."""
+    return _solve_fk_jit(tree, params, liMi_R, liMi_p, problem, warm_state)
+
+
 def solve(tree, params: SolverParams, q, problem: IkProblem,
           warm_state: Optional[SolverState] = None) -> SolveResult:
     """Solve a batch of constrained differential-IK problems.
@@ -565,9 +596,17 @@ def solve(tree, params: SolverParams, q, problem: IkProblem,
 
     Returns a SolveResult with leading-batch arrays.
     """
+    from ..problem import validate_problem
+
+    validate_problem(tree, problem)
     q = jnp.asarray(q)
     single = q.ndim == 1
     if single:
         q = q[None]
+    if q.shape[-1] != tree.nq:
+        raise ValueError(
+            f"q has {q.shape[-1]} configuration entries; model '{tree.name}' "
+            f"has nq={tree.nq}"
+        )
     res = _solve_jit(tree, params, q, problem, warm_state)
     return res

@@ -83,8 +83,13 @@ def test_fast_batched_matches_per_problem_solves():
     analog; SURVEY.md §7 hard part 4)."""
     tree = robots.panda()
     problem = fixture_problem(tree, b3=0.2)
-    B = 5
+    B = 6
     qs = tree.random_configuration(jax.random.PRNGKey(7), (B,))
+    # guarantee heterogeneous stopping points: a known fast-converging config
+    # and the singular neutral config (primal-infeasible -> tail solve), so
+    # the masked freeze is actually exercised
+    qs = qs.at[0].set(jnp.asarray(PANDA_Q))
+    qs = qs.at[1].set(tree.neutral())
     res = solve(tree, TIGHT, qs, problem)
     iters = set()
     for i in range(B):
@@ -95,9 +100,7 @@ def test_fast_batched_matches_per_problem_solves():
         assert int(res.iterations[i]) == int(ri.iterations[0])
         assert bool(res.converged[i]) == bool(ri.converged[0])
         iters.add(int(ri.iterations[0]))
-    # the batch must actually have heterogeneous stopping points for this
-    # test to exercise masking; if not, perturb the problem instead
-    assert len(iters) >= 1
+    assert len(iters) >= 2, f"batch stopping points not heterogeneous: {iters}"
 
 
 def test_fast_batched_heterogeneous_targets():

@@ -93,10 +93,9 @@ def test_fuzz_spherical_joints_parity(seed):
     here the k=3 Cholesky branch of spd_inv)."""
     rng = np.random.default_rng(100 + seed)
     tree = random_tree(rng, int(rng.integers(4, 9)),
-                       floating_base=bool(seed % 2), allow_spherical=True)
-    if 3 not in set(tree.jtypes):  # SPHERICAL code is 3
-        joints_types = set(tree.jtypes)
-        pytest.skip(f"no spherical joint drawn (types={joints_types})")
+                       floating_base=bool(seed % 2), allow_spherical=True,
+                       force_spherical=True)
+    assert 3 in set(tree.jtypes)  # SPHERICAL code is 3: guaranteed, not RNG luck
     c_links = (tree.leaf_joints[-1],)
     b = rng.uniform(-0.2, 0.2, size=(1, 6))
     problem = make_problem(

@@ -185,7 +185,10 @@ def test_oracle_infeasible_problem():
     params = SolverParams(max_iter=300)
     res = OracleSolver(tree, params).solve(tree.neutral(), problem)
     assert not res.converged
-    assert res.primal_infeasible or res.dual_infeasible or res.iterations == 299
+    # the certificate must actually fire (detected at iteration 17 in f64);
+    # no max-iter escape hatch
+    assert res.primal_infeasible
+    assert res.iterations < 100
 
 
 def test_oracle_panda_neutral_infeasible():
