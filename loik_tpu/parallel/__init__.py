@@ -1,3 +1,4 @@
+from . import distributed
 from .multistart import solve_multistart
 from .sharding import (
     convergence_metrics,
@@ -12,4 +13,5 @@ __all__ = [
     "solve_sharded",
     "convergence_metrics",
     "solve_multistart",
+    "distributed",
 ]
