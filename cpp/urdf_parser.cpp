@@ -171,7 +171,7 @@ void parse_doubles(const std::string& s, double* out, int n) {
 
 struct JointOut {
   int parent;        // moving-joint parent index, -1 = world
-  int jtype;         // 0 rev, 1 prism, 2 free-flyer
+  int jtype;         // 0 rev, 1 prism, 2 free-flyer, 3 spherical
   Mat3 R;            // accumulated placement rotation
   Vec3 p;            // accumulated placement translation
   Vec3 axis;
@@ -317,6 +317,8 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
       if (j.type == "revolute" || j.type == "continuous") jtype = 0;
       else if (j.type == "prismatic") jtype = 1;
       else if (j.type == "floating") jtype = 2;
+      else if (j.type == "spherical") jtype = 3;  // extension, like the
+                                                  // Python loader
       else {
         res.error = "unsupported joint type " + j.type;
         res.joints.clear();

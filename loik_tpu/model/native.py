@@ -60,7 +60,7 @@ def native_available() -> bool:
 def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
                      floating_base: bool = False):
     """Parse a URDF string or file path with the native parser."""
-    from .tree import FREE_FLYER, PRISMATIC, REVOLUTE, KinematicTree
+    from .tree import FREE_FLYER, PRISMATIC, REVOLUTE, SPHERICAL, KinematicTree
 
     if "<robot" not in source:
         with open(source) as f:
@@ -88,7 +88,7 @@ def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
         )
         names = tuple(lib.loik_urdf_names().decode().split("\n")[:n])
 
-    type_map = {0: REVOLUTE, 1: PRISMATIC, 2: FREE_FLYER}
+    type_map = {0: REVOLUTE, 1: PRISMATIC, 2: FREE_FLYER, 3: SPHERICAL}
     from .tree import JOINT_NQ, JOINT_NV
 
     jt = tuple(type_map[int(t)] for t in jtypes)

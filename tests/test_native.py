@@ -65,3 +65,48 @@ def test_native_fk_equivalence():
     _, _, _, op_py = t_py.fwd_kinematics(q)
     _, _, _, op_cc = t_cc.fwd_kinematics(q)
     np.testing.assert_allclose(np.asarray(op_cc), np.asarray(op_py), atol=1e-13)
+
+
+TALOS = os.path.join(_ASSETS, "talos.urdf")
+
+
+def test_native_matches_python_talos():
+    """Whole-body fixture: 33 joints incl. mid-chain fixed-frame merging
+    (wrist FT frames sit between arm_7 and the gripper joints)."""
+    t_py = load_urdf(TALOS, floating_base=True)
+    t_cc = load_urdf_native(TALOS, floating_base=True)
+    assert t_py.njoints == 33 and t_py.nv == 38
+    assert t_cc.parents == t_py.parents
+    assert t_cc.jtypes == t_py.jtypes
+    assert t_cc.joint_names == t_py.joint_names
+    np.testing.assert_allclose(
+        np.asarray(t_cc.placement_R), np.asarray(t_py.placement_R), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_cc.placement_p), np.asarray(t_py.placement_p), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_cc.velocity_limit), np.asarray(t_py.velocity_limit)
+    )
+
+
+def test_native_spherical_extension():
+    """Both parsers accept the non-standard 'spherical' type identically."""
+    urdf = (
+        '<robot name="s"><link name="a"/><link name="b"/><link name="c"/>'
+        '<joint name="ball" type="spherical">'
+        '<origin xyz="0 0 0.5"/><parent link="a"/><child link="b"/></joint>'
+        '<joint name="hinge" type="revolute">'
+        '<origin xyz="0 0 0.2"/><parent link="b"/><child link="c"/>'
+        '<axis xyz="0 1 0"/><limit effort="1" velocity="2.5"/></joint>'
+        "</robot>"
+    )
+    t_py = load_urdf(urdf)
+    t_cc = load_urdf_native(urdf)
+    from loik_tpu.model.tree import SPHERICAL
+
+    assert t_py.jtypes == t_cc.jtypes == (SPHERICAL, 0)
+    assert t_py.nq == t_cc.nq == 5 and t_py.nv == t_cc.nv == 4
+    np.testing.assert_allclose(
+        np.asarray(t_cc.placement_p), np.asarray(t_py.placement_p), atol=1e-14
+    )
