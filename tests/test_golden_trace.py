@@ -1,0 +1,79 @@
+"""Golden-trace parity: frozen ADMM iterate trajectories at a fixed budget.
+
+The artifact tests/golden/traces.json records per-iteration
+(primal_residual, dual_residual, mu) and final (nu, z) for the reference
+test-fixture problem on four robots at a FIXED 8-iteration budget — the
+reference's own optimized-vs-reference comparison protocol
+(tests/loik-loid.cpp:559-671).  Two layers of pinning:
+
+1. the ORACLE must reproduce the committed file to near-bit f64 accuracy —
+   any semantic drift in the dense-QP spec solver is a deliberate,
+   regenerate-and-review event (tools/gen_golden_trace.py);
+2. the FAST solver (the production path) must track the same trajectories
+   to 1e-10 — the "residuals match at the same ADMM iteration budget"
+   BASELINE.md target, asserted against an artifact rather than an
+   in-process computation.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from loik_tpu.model import robots
+from loik_tpu.oracle import OracleSolver
+from loik_tpu.params import SolverParams
+from loik_tpu.problem import make_problem
+from loik_tpu.solver import solve
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "traces.json")
+
+with open(GOLDEN) as f:
+    DOC = json.load(f)
+
+PARAMS = SolverParams(logging=True, **DOC["params"])
+
+
+def _fixture(trace):
+    tree = robots.get(trace["robot"], "float64")
+    b = np.asarray(trace["b"])[None]
+    problem = make_problem(
+        tree, (trace["constraint_link"],), b=b,
+        lb=-trace["bounds"] * np.ones(tree.nv),
+        ub=trace["bounds"] * np.ones(tree.nv),
+    )
+    return tree, np.asarray(trace["q"]), problem
+
+
+@pytest.mark.parametrize("trace", DOC["traces"], ids=lambda t: t["robot"])
+def test_oracle_reproduces_golden(trace):
+    tree, q, problem = _fixture(trace)
+    orc = OracleSolver(tree, PARAMS).solve(q, problem)
+    assert orc.iterations == trace["iterations"] == 8
+    np.testing.assert_allclose(
+        orc.info.primal_residuals, trace["primal_residuals"], rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        orc.info.dual_residuals, trace["dual_residuals"], rtol=1e-12
+    )
+    np.testing.assert_allclose(orc.info.mus, trace["mus"], rtol=1e-15)
+    np.testing.assert_allclose(orc.nu, trace["nu_final"], rtol=1e-12,
+                               atol=1e-15)
+    np.testing.assert_allclose(orc.z, trace["z_final"], rtol=1e-12,
+                               atol=1e-15)
+
+
+@pytest.mark.parametrize("trace", DOC["traces"], ids=lambda t: t["robot"])
+def test_fast_solver_matches_golden(trace):
+    tree, q, problem = _fixture(trace)
+    res = solve(tree, PARAMS, q, problem)
+    assert int(res.iterations[0]) == trace["iterations"]
+    rp = np.asarray(res.log_rp)[:8, 0]
+    rd = np.asarray(res.log_rd)[:8, 0]
+    np.testing.assert_allclose(rp, trace["primal_residuals"], rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(rd, trace["dual_residuals"], rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.nu[0]), trace["nu_final"],
+                               rtol=1e-9, atol=1e-12)
