@@ -141,13 +141,19 @@ class KinematicTree:
     # motion subspaces
     # ------------------------------------------------------------------ #
     def joint_S(self, i: int) -> jnp.ndarray:
-        """Motion subspace of joint i, shape (6, nv_i), [linear; angular] rows."""
+        """Motion subspace of joint i, shape (6, nv_i), [linear; angular] rows.
+
+        With per-problem batched geometry leaves (axis of shape (N, B, 3),
+        used by the mixed-topology super-batch path) the 1-dof subspaces gain
+        a LEADING batch dim: (B, 6, 1)."""
         t = self.jtypes[i]
         dt = self.dtype
         if t == REVOLUTE:
-            return jnp.concatenate([jnp.zeros((3, 1), dt), self.axis[i][:, None]], axis=0)
+            ax = self.axis[i]
+            return jnp.concatenate([jnp.zeros_like(ax), ax], axis=-1)[..., None]
         if t == PRISMATIC:
-            return jnp.concatenate([self.axis[i][:, None], jnp.zeros((3, 1), dt)], axis=0)
+            ax = self.axis[i]
+            return jnp.concatenate([ax, jnp.zeros_like(ax)], axis=-1)[..., None]
         if t == FREE_FLYER:
             return jnp.eye(6, dtype=dt)
         if t == SPHERICAL:

@@ -1,4 +1,5 @@
 from . import distributed
+from .mixed import solve_mixed, solve_mixed_padded
 from .multistart import solve_multistart
 from .sharding import (
     convergence_metrics,
@@ -13,5 +14,7 @@ __all__ = [
     "solve_sharded",
     "convergence_metrics",
     "solve_multistart",
+    "solve_mixed",
+    "solve_mixed_padded",
     "distributed",
 ]

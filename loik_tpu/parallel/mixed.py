@@ -1,19 +1,40 @@
 """Mixed-topology batches (e.g. "UR5 + Panda mixed batch", BASELINE.json
 configs[1]).
 
-Different kinematic trees compile to different programs (topology is static
-by design), so a mixed batch is solved as one jitted solve per distinct
-topology group — each group still batched and shardable.  This mirrors how a
-fleet controller with heterogeneous robots would organize work; there is no
-reference analog (the C++ solver binds one Model per instance).
+Two strategies:
+
+- :func:`solve_mixed` — one jitted solve per distinct topology, dispatched
+  back-to-back (general: any mix of trees/constraints).
+- :func:`solve_mixed_padded` — the TPU-native path: heterogeneous
+  serial-chain robots are embedded into ONE common padded chain and solved
+  as ONE compiled program over ONE combined batch, so every vector lane is
+  busy regardless of which robot it carries.
+
+The embedding behind the padded path: a chain of ``N`` 1-dof joints is
+extended to ``N_max`` joints whose extra joints have IDENTITY placements and
+``lb = ub = 0``.  An identity joint with zero velocity transmits its parent's
+spatial velocity unchanged (``v_child = X^-1 v_parent + S*0 = v_parent``), so
+the original end-effector constraint moves to the padded chain TIP with its
+value unchanged, and the padded QP's optimum is exactly the original optimum
+extended by zeros.  Per-problem geometry (each robot's placements and joint
+axes) rides in BATCHED tree leaves — geometry was always traced data in this
+design (model/tree.py), so mixing robots per lane costs one extra batch dim,
+not a recompile.  There is no reference analog (the C++ solver binds one
+Model per instance, loik-loid-optimized.hpp:762); this is the batching story
+a heterogeneous robot fleet needs on TPU.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Sequence, Tuple
 
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.tree import PRISMATIC, REVOLUTE, KinematicTree
 from ..params import SolverParams
-from ..problem import IkProblem
+from ..problem import IkProblem, validate_problem
 from ..solver import solve
 from ..solver.state import SolveResult
 
@@ -29,3 +50,155 @@ def solve_mixed(
     for tree, q, problem in groups:
         results.append(solve(tree, params, q, problem))
     return results
+
+
+def _is_1dof_chain(tree: KinematicTree) -> bool:
+    return all(t in (REVOLUTE, PRISMATIC) for t in tree.jtypes) and all(
+        p == i - 1 for i, p in enumerate(tree.parents)
+    )
+
+
+def _np_b(x, B, core_ndim):
+    """Broadcast a possibly-unbatched problem leaf to a leading (B, ...)."""
+    x = np.asarray(x, np.float64)
+    if x.ndim == core_ndim:
+        return np.broadcast_to(x, (B,) + x.shape).copy()
+    assert x.shape[0] == B, (x.shape, B)
+    return x
+
+
+def solve_mixed_padded(
+    groups: Sequence[Tuple[KinematicTree, object, IkProblem]],
+    params: SolverParams,
+    dtype=None,
+) -> List[SolveResult]:
+    """One compiled program + one combined batch over heterogeneous
+    serial-chain robots.
+
+    Requirements (else use :func:`solve_mixed`): every tree is a serial
+    chain of 1-dof joints (revolute/prismatic), and every problem has ONE
+    equality constraint at its end-effector (the last joint) — the shape of
+    BASELINE configs[1].  Returns per-group SolveResults with each group's
+    own nv (padded dofs stripped).
+    """
+    trees = [g[0] for g in groups]
+    for t in trees:
+        if not _is_1dof_chain(t):
+            raise ValueError(
+                f"solve_mixed_padded needs serial 1-dof chains; '{t.name}' "
+                "is not (use solve_mixed)"
+            )
+    for tree, _, problem in groups:
+        validate_problem(tree, problem)
+        if problem.constraint_links != (tree.njoints - 1,):
+            raise ValueError(
+                "solve_mixed_padded supports one end-effector constraint "
+                f"per problem; got links {problem.constraint_links} for "
+                f"'{tree.name}'"
+            )
+    if dtype is None:
+        dtype = trees[0].dtype
+    N = max(t.njoints for t in trees)
+    Bs = [np.asarray(g[1]).shape[0] for g in groups]
+    B = sum(Bs)
+
+    # ---- batched-geometry padded chain ---------------------------------
+    # leaves gain a batch dim: (N, B, ...); padded joints are identity
+    # placements with z-axis revolute subspaces (their dofs are locked by
+    # lb = ub = 0 below)
+    pR = np.zeros((N, B, 3, 3))
+    pR[:] = np.eye(3)
+    pp = np.zeros((N, B, 3))
+    ax = np.zeros((N, B, 3))
+    ax[:, :, 2] = 1.0
+    q_sup = np.zeros((B, N))
+    jtypes = []
+    off = 0
+    for (tree, q, _), Bg in zip(groups, Bs):
+        n = tree.njoints
+        pR[:n, off : off + Bg] = np.asarray(tree.placement_R)[:, None]
+        pp[:n, off : off + Bg] = np.asarray(tree.placement_p)[:, None]
+        ax[:n, off : off + Bg] = np.asarray(tree.axis)[:, None]
+        q_sup[off : off + Bg, :n] = np.asarray(q)
+        off += Bg
+    # per-slot joint TYPE must agree across groups (type is static; the
+    # batched-leaf trick moves axes/placements per problem, not S layout)
+    for slot in range(N):
+        types = {t.jtypes[slot] for t in trees if t.njoints > slot}
+        if len(types) > 1:
+            raise ValueError(
+                f"joint slot {slot} mixes types {types}; groups must agree "
+                "per slot (pad order or use solve_mixed)"
+            )
+        jtypes.append(types.pop() if types else REVOLUTE)
+
+    chain = KinematicTree(
+        placement_R=jnp.asarray(pR, dtype),
+        placement_p=jnp.asarray(pp, dtype),
+        axis=jnp.asarray(ax, dtype),
+        velocity_limit=jnp.zeros((N,), dtype),
+        parents=tuple(range(-1, N - 1)),
+        jtypes=tuple(jtypes),
+        idx_v=tuple(range(N)),
+        idx_q=tuple(range(N)),
+        joint_names=tuple(f"j{i}" for i in range(N)),
+        name=f"mixed_chain_{N}",
+    )
+
+    # ---- combined problem ----------------------------------------------
+    # padded links: H_ref = 0 (no tracking cost), padded dofs: lb = ub = 0
+    # (locks nu, making the identity joints pure frame extensions); the EE
+    # constraint moves to the tip, where v_tip == v_EE exactly
+    H = np.zeros((B, N, 6, 6))
+    v = np.zeros((B, N, 6))
+    A = np.zeros((B, 1, 6, 6))
+    b = np.zeros((B, 1, 6))
+    lb = np.zeros((B, N))
+    ub = np.zeros((B, N))
+    off = 0
+    for (tree, _, problem), Bg in zip(groups, Bs):
+        n = tree.njoints
+        sl = slice(off, off + Bg)
+        H[sl, :n] = _np_b(problem.H_ref, Bg, 3)
+        v[sl, :n] = _np_b(problem.v_ref, Bg, 2)
+        A[sl] = _np_b(problem.A, Bg, 3)
+        b[sl] = _np_b(problem.b, Bg, 2)
+        lb[sl, :n] = _np_b(problem.lb, Bg, 1)
+        ub[sl, :n] = _np_b(problem.ub, Bg, 1)
+        off += Bg
+    sup = IkProblem(
+        H_ref=jnp.asarray(H, dtype),
+        v_ref=jnp.asarray(v, dtype),
+        A=jnp.asarray(A, dtype),
+        b=jnp.asarray(b, dtype),
+        lb=jnp.asarray(lb, dtype),
+        ub=jnp.asarray(ub, dtype),
+        constraint_links=(N - 1,),
+    )
+
+    res = solve(chain, params, jnp.asarray(q_sup, dtype), sup)
+
+    # ---- unpack per group (strip padded dofs/links) ----------------------
+    out = []
+    off = 0
+    for (tree, _, _), Bg in zip(groups, Bs):
+        n = tree.njoints
+        sl = slice(off, off + Bg)
+        out.append(
+            dataclasses.replace(
+                res,
+                nu=res.nu[sl, :n],
+                z=res.z[sl, :n],
+                vis=res.vis[sl, :n],
+                converged=res.converged[sl],
+                primal_infeasible=res.primal_infeasible[sl],
+                dual_infeasible=res.dual_infeasible[sl],
+                iterations=res.iterations[sl],
+                tail_iterations=res.tail_iterations[sl],
+                primal_residual=res.primal_residual[sl],
+                dual_residual=res.dual_residual[sl],
+                state=None,
+            )
+        )
+        off += Bg
+    return out

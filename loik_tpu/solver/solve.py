@@ -120,13 +120,16 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     # to the full (6, k, B) tile up front: a shared (6, k, 1) operand makes
     # k>1 contractions broadcast in sublanes AND lanes at once, which Mosaic
     # rejects ("Broadcast in both sublanes and lanes"); XLA fuses the
-    # explicit broadcast into consumers either way
-    S = [
-        jnp.broadcast_to(
-            tree.joint_S(i).astype(dtype)[:, :, None], (6, tree.nvs[i], B)
-        )
-        for i in range(N)
-    ]
+    # explicit broadcast into consumers either way.  Per-problem batched
+    # subspaces — (B, 6, k) from the mixed super-batch path — move their
+    # batch dim to the trailing lane axis instead.
+    def _S_tile(i):
+        Si = tree.joint_S(i).astype(dtype)
+        if Si.ndim == 3:
+            return jnp.moveaxis(Si, 0, -1)              # (B,6,k) -> (6,k,B)
+        return jnp.broadcast_to(Si[:, :, None], (6, tree.nvs[i], B))
+
+    S = [_S_tile(i) for i in range(N)]
     nvs, parents = tree.nvs, tree.parents
     c_links = prob.constraint_links
     mu_eq = st.mu_eq  # (B,)
