@@ -4,11 +4,20 @@ Protocol (mirrors the reference timing harness, tests/loik-loid.cpp:987-1032,
 adapted to the batched regime per BASELINE.md): fix the problem family,
 pre-generate R batches of random configurations, compile once, then time R
 repeated batched cold solves; report throughput counting ONLY converged
-problems, plus p50 per-batch latency.
+problems.  The JSON line records BOTH the p50-based sustained throughput
+(value; robust to host<->device tunnel stalls) and the raw wall-clock
+throughput + p50 batch latency, so neither number has to be taken on faith.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is against the driver-set target of 1e5 converged 7-DoF
-solves/s/chip at tol 1e-6 (BASELINE.json:2).
+Workloads (--config) are the five BASELINE.json configs:
+  flagship   panda_arm, one 6-D EE constraint + box bounds      [configs 0]
+  mixed      512 UR5 + 512 panda batch, one padded super-batch  [configs 1]
+  solo12     4 point-feet + 6-D base task, stance configs       [configs 2]
+  talos      whole-body: 6-D base stance + gripper task, 38 dof [configs 3]
+  multistart 100k+ random seeds -> argmin task error            [configs 4]
+  all        run the five above, one JSON line each
+
+Default invocation (no flags) = flagship, ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import argparse
@@ -19,10 +28,381 @@ import time
 import numpy as np
 
 
+def _skew(r):
+    return np.array([[0, -r[2], r[1]], [r[2], 0, -r[0]], [-r[1], r[0], 0.0]])
+
+
+def build_config(name, args, jnp, robots, make_problem, dtype):
+    """Returns (trees, problem(s), q_sampler, B, metric_label).
+
+    q_sampler(key) -> one batch of configurations (or list per group for
+    'mixed')."""
+    import jax
+
+    if name == "flagship":
+        tree = robots.get(args.robot, args.dtype)
+        b = np.zeros((1, 6))
+        b[0, 2] = args.b3
+        problem = make_problem(
+            tree, (tree.njoints - 1,), b=b,
+            lb=-4.0 * np.ones(tree.nv), ub=4.0 * np.ones(tree.nv),
+            dtype=dtype,
+        )
+        B = args.batch
+        sampler = lambda k: tree.random_configuration(k, (B,)).astype(dtype)
+        return tree, problem, sampler, B, args.robot
+
+    if name == "solo12":
+        # stance task: 6-D base velocity command + zero linear velocity of
+        # the four foot POINTS (0.16 m below the knee frames: a joint frame
+        # has no linear velocity at its own origin, so the contact point
+        # must be offset — A encodes v_lin - [r]x w per foot)
+        tree = robots.solo12(args.dtype)
+        feet = tree.leaf_joints
+        cl = (0,) + feet
+        A = np.zeros((5, 6, 6))
+        A[0] = np.eye(6)
+        for k in range(1, 5):
+            A[k, :3, :3] = np.eye(3)
+            A[k, :3, 3:] = -_skew([0.0, 0.0, -0.16])
+        b = np.zeros((5, 6))
+        b[0, 2] = 0.1  # commanded base heave
+        problem = make_problem(
+            tree, cl, A=A, b=b,
+            lb=-12.0 * np.ones(tree.nv), ub=12.0 * np.ones(tree.nv),
+            dtype=dtype,
+        )
+        # bent-knee standing configs (straight legs are singular)
+        q0 = np.asarray(tree.neutral()).copy()
+        q0[7:] = [0, 0.8, -1.6] * 2 + [0, -0.8, 1.6] * 2
+        B = args.batch
+        q0j = jnp.asarray(q0, dtype)
+
+        def sampler(k):
+            dq = 0.3 * jax.random.uniform(
+                k, (B, tree.nv), dtype=dtype, minval=-1.0, maxval=1.0
+            )
+            return jax.vmap(lambda d: tree.integrate(q0j, d))(dq)
+
+        return tree, problem, sampler, B, "solo12 base+4 point feet"
+
+    if name == "talos":
+        tree = robots.talos(args.dtype)
+        gl = tree.joint_names.index("gripper_left_joint")
+        b = np.zeros((2, 6))
+        b[0, 2] = 0.2  # commanded gripper heave; base held (stance)
+        problem = make_problem(
+            tree, (gl, 0), b=b,
+            lb=-4.0 * np.ones(tree.nv), ub=4.0 * np.ones(tree.nv),
+            dtype=dtype,
+        )
+        B = args.batch
+        sampler = lambda k: tree.random_configuration(k, (B,)).astype(dtype)
+        return tree, problem, sampler, B, "talos whole-body 38-dof"
+
+    raise KeyError(name)
+
+
+def run_standard(args, config_name):
+    import jax
+    import jax.numpy as jnp
+
+    from loik_tpu.model import robots
+    from loik_tpu.params import SolverParams
+    from loik_tpu.problem import make_problem
+    from loik_tpu.solver import solve
+    from loik_tpu.solver.refine import solve_two_stage
+
+    dtype = jnp.dtype(args.dtype)
+    tree, problem, sampler, B, label = build_config(
+        config_name, args, jnp, robots, make_problem, dtype
+    )
+    params = SolverParams(
+        max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
+        mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
+        tail_solve=args.tail_solve,
+    )
+    if args.mode == "two-stage":
+        run = lambda q: solve_two_stage(
+            tree, params, q, problem, stage1_max_iter=args.stage1_max_iter,
+            stage2_max_iter=args.stage2_max_iter, batch_tile=args.batch_tile)
+    else:
+        run = lambda q: solve(tree, params, q, problem)
+
+    R = args.reps
+    keys = jax.random.split(jax.random.PRNGKey(0), R + 1)
+    q_batches = [sampler(k) for k in keys]
+
+    res = run(q_batches[-1])  # warmup / compile
+    res.nu.block_until_ready()
+
+    lat = []
+    total_converged = 0
+    t_all0 = time.perf_counter()
+    for r in range(R):
+        t0 = time.perf_counter()
+        res = run(q_batches[r])
+        res.converged.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+        total_converged += int(res.converged.sum())
+    t_all = time.perf_counter() - t_all0
+
+    emit(args, label, lat, B, R, total_converged, t_all, res)
+
+
+def run_mixed(args):
+    """BASELINE configs[1]: UR5 + Panda mixed batch as ONE padded
+    super-batch program (parallel/mixed.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from loik_tpu.model import robots
+    from loik_tpu.params import SolverParams
+    from loik_tpu.parallel.mixed import solve_mixed_padded
+    from loik_tpu.problem import make_problem
+    from loik_tpu.solver.refine import solve_two_stage
+
+    dtype = jnp.dtype(args.dtype)
+    B = args.batch  # total problems; half UR5, half panda_arm
+    Bg = B // 2
+    groups_proto = []
+    for robot in ("ur5", "panda_arm"):
+        tree = robots.get(robot, args.dtype)
+        b = np.zeros((1, 6))
+        b[0, 2] = args.b3
+        # model velocity limits as the box bounds ("velocity-limit + box")
+        vl = np.minimum(np.asarray(tree.velocity_limit), 4.0)
+        problem = make_problem(tree, (tree.njoints - 1,), b=b,
+                               lb=-vl, ub=vl, dtype=dtype)
+        groups_proto.append((tree, problem))
+    params = SolverParams(
+        max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
+        mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
+        tail_solve=args.tail_solve,
+    )
+    # two-stage via the XLA path (fused stage 1 does not take the mixed
+    # path's batched geometry leaves yet)
+    solve_fn = lambda t, p, q, pr: solve_two_stage(
+        t, p, q, pr, stage1_max_iter=args.stage1_max_iter,
+        stage2_max_iter=args.stage2_max_iter, fused_stage1=False)
+
+    R = args.reps
+    keys = jax.random.split(jax.random.PRNGKey(0), 2 * (R + 1)).reshape(
+        R + 1, 2, -1)
+
+    def batch(kk):
+        return [
+            (tree, tree.random_configuration(k, (Bg,)).astype(dtype), prob)
+            for (tree, prob), k in zip(groups_proto, kk)
+        ]
+
+    q_batches = [batch(kk) for kk in keys]
+
+    def run(groups):
+        rs = solve_mixed_padded(groups, params, dtype=dtype,
+                                solve_fn=solve_fn)
+        return rs
+
+    rs = run(q_batches[-1])
+    rs[-1].nu.block_until_ready()
+
+    lat = []
+    total_converged = 0
+    t_all0 = time.perf_counter()
+    for r in range(R):
+        t0 = time.perf_counter()
+        rs = run(q_batches[r])
+        conv = [np.asarray(x.converged).sum() for x in rs]
+        lat.append(time.perf_counter() - t0)
+        total_converged += int(sum(conv))
+    t_all = time.perf_counter() - t_all0
+
+    emit(args, "mixed ur5+panda super-batch", lat, B, R, total_converged,
+         t_all, rs[-1])
+
+
+def run_multistart(args):
+    """BASELINE configs[4]: 100k+ random seeds, best-task-error reduction."""
+    import jax
+    import jax.numpy as jnp
+
+    from loik_tpu.model import robots
+    from loik_tpu.params import SolverParams
+    from loik_tpu.parallel.multistart import solve_multistart
+    from loik_tpu.problem import make_problem
+    from loik_tpu.solver.refine import solve_two_stage
+
+    dtype = jnp.dtype(args.dtype)
+    tree = robots.get(args.robot, args.dtype)
+    b = np.zeros((1, 6))
+    b[0, 2] = args.b3
+    problem = make_problem(
+        tree, (tree.njoints - 1,), b=b,
+        lb=-4.0 * np.ones(tree.nv), ub=4.0 * np.ones(tree.nv), dtype=dtype,
+    )
+    params = SolverParams(
+        max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
+        mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
+        tail_solve=args.tail_solve,
+    )
+    solve_fn = lambda t, p, q, pr: solve_two_stage(
+        t, p, q, pr, stage1_max_iter=args.stage1_max_iter,
+        stage2_max_iter=args.stage2_max_iter, batch_tile=args.batch_tile)
+    B = args.batch
+    R = max(args.reps, int(np.ceil(args.min_seeds / B)))  # >= 100k seeds
+    keys = jax.random.split(jax.random.PRNGKey(0), R + 1)
+
+    def run(k):
+        return solve_multistart(tree, params, problem, k, B,
+                                solve_fn=solve_fn)
+
+    _, _, err, res = run(keys[-1])
+    res.nu.block_until_ready()
+
+    lat, total_converged, best = [], 0, np.inf
+    t_all0 = time.perf_counter()
+    for r in range(R):
+        t0 = time.perf_counter()
+        bq, bnu, err, res = run(keys[r])
+        err.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+        total_converged += int(res.converged.sum())
+        best = min(best, float(err))
+    t_all = time.perf_counter() - t_all0
+
+    emit(args, f"multistart {B * R} seeds {args.robot} (best task err "
+               f"{best:.2e})", lat, B, R, total_converged, t_all, res,
+         unit="seeds/s", count_all=True)
+
+
+def emit(args, label, lat, B, R, total_converged, t_all, res,
+         unit="solves/s", count_all=False):
+    import jax
+
+    # median-based sustained throughput: per-batch converged count over the
+    # median batch latency (robust to transient host<->device tunnel stalls,
+    # which inflate the mean without reflecting device throughput); the raw
+    # wall-clock number is reported alongside
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+    conv_frac = total_converged / (B * R)
+    counted = B if count_all else conv_frac * B
+    throughput = counted / (p50_ms / 1e3)
+    throughput_wall = (B * R if count_all else total_converged) / t_all
+    target = 1e5  # BASELINE.json: >=1e5 converged 7-DoF solves/s/chip @ 1e-6
+
+    if args.verbose:
+        it = np.asarray(res.iterations)
+        print(
+            f"# {label} B={B} R={R} conv={conv_frac:.3f} "
+            f"p50={p50_ms:.2f}ms/batch wall={throughput_wall:.0f}/s "
+            f"iters mean={it.mean():.1f} max={int(it.max())} "
+            f"backend={jax.devices()[0].platform}",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "converged diff-IK solves/s/chip (%s, tol %g, %s)"
+                % (label, args.tol, args.mode),
+                "value": round(throughput, 1),
+                "unit": unit,
+                "vs_baseline": round(throughput / target, 4),
+                "wall_value": round(throughput_wall, 1),
+                "p50_batch_ms": round(p50_ms, 3),
+                "converged_frac": round(conv_frac, 4),
+                "batch": B,
+                "reps": R,
+            }
+        ),
+        flush=True,
+    )
+
+
+def run_tracking(args):
+    import jax
+    import jax.numpy as jnp
+
+    from loik_tpu.api import DiffIkSolver
+    from loik_tpu.model import robots
+    from loik_tpu.params import SolverParams
+    from loik_tpu.problem import make_problem
+
+    dtype = jnp.dtype(args.dtype)
+    tree = robots.get(args.robot, args.dtype)
+    b = np.zeros((1, 6))
+    b[0, 2] = args.b3
+    problem = make_problem(
+        tree, (tree.njoints - 1,), b=b,
+        lb=-4.0 * np.ones(tree.nv), ub=4.0 * np.ones(tree.nv), dtype=dtype,
+    )
+    params = SolverParams(
+        max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
+        mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
+        tail_solve=args.tail_solve,
+    )
+    # per-tick warm-started tracking latency (reference tailored-timing
+    # protocol, tests/loik-loid.cpp:1035-1078, batched): every tick updates
+    # ONE constraint target and re-solves from the last duals; the metric is
+    # wall latency per tick vs the 1 kHz control budget
+    B, R = args.batch, args.reps
+    ee = tree.njoints - 1
+    solver = DiffIkSolver(tree, params.replace(warm_start=True), (ee,),
+                          problem=problem)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    q = tree.random_configuration(keys[0], (B,)).astype(dtype)
+    ticks = max(50, R)
+    for t in range(5):  # compile + settle duals
+        res = solver.solve_tracking(q, ee, b=jnp.asarray(b[0], dtype))
+    res.converged.block_until_ready()
+    lat = []
+    for t in range(ticks):
+        bt = b[0].copy()
+        bt[2] = args.b3 * np.cos(2 * np.pi * t / ticks)
+        t0 = time.perf_counter()
+        res = solver.solve_tracking(q, ee, b=jnp.asarray(bt, dtype))
+        res.converged.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+    # pipelined: enqueue ticks without per-tick sync (a real controller
+    # overlaps device compute with I/O; ticks stay ordered through the
+    # warm-state dependency) — sustained rate, amortizing host RTT
+    t0 = time.perf_counter()
+    for t in range(ticks):
+        bt = b[0].copy()
+        bt[2] = args.b3 * np.sin(2 * np.pi * t / ticks)
+        res = solver.solve_tracking(q, ee, b=jnp.asarray(bt, dtype))
+    res.converged.block_until_ready()
+    pipe_ms = (time.perf_counter() - t0) / ticks * 1e3
+    if args.verbose:
+        it = np.asarray(res.iterations)
+        print(
+            f"# tracking B={B} ticks={ticks} p50={p50_ms:.3f}ms "
+            f"pipelined={pipe_ms:.3f}ms/tick "
+            f"conv={float(np.asarray(res.converged).mean()):.3f} "
+            f"warm iters mean={it.mean():.1f} max={int(it.max())} "
+            f"backend={jax.devices()[0].platform}",
+            file=sys.stderr,
+        )
+    print(json.dumps({
+        "metric": "sustained tracking tick (%s, tol %g, B=%d controllers"
+                  ", pipelined; sync p50 %.2f ms)"
+                  % (args.robot, args.tol, B, p50_ms),
+        "value": round(pipe_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(1.0 / pipe_ms, 4),  # 1 kHz budget / actual
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="flagship",
+                    choices=["flagship", "mixed", "solo12", "talos",
+                             "multistart", "all"],
+                    help="BASELINE.json workload (see module docstring)")
     ap.add_argument("--robot", default="panda_arm")
-    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="problems per batch (default per config)")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--tol", type=float, default=None,
                     help="default 1e-6 (the BASELINE metric); tracking mode "
@@ -62,6 +442,9 @@ def main():
                          "metric consumes only converged solutions, and the "
                          "tail burns ~12 masked iterations per infeasible "
                          "problem)")
+    ap.add_argument("--min-seeds", type=float, default=1e5,
+                    help="multistart: total random seeds floor (BASELINE "
+                         "configs[4] says 100k)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -77,144 +460,25 @@ def main():
         args.dtype = "float32"
     if args.tol is None:
         args.tol = 1e-4 if args.mode == "tracking" else 1e-6
-    import jax.numpy as jnp
-
-    from loik_tpu.model import robots
-    from loik_tpu.params import SolverParams
-    from loik_tpu.problem import make_problem
-    from loik_tpu.solver import solve
-    from loik_tpu.solver.refine import solve_two_stage
-
-    dtype = jnp.dtype(args.dtype)
-    tree = robots.get(args.robot, args.dtype)
-    b = np.zeros((1, 6))
-    b[0, 2] = args.b3
-    problem = make_problem(
-        tree,
-        (tree.njoints - 1,),
-        b=b,
-        lb=-4.0 * np.ones(tree.nv),
-        ub=4.0 * np.ones(tree.nv),
-        dtype=dtype,
-    )
-    params = SolverParams(
-        max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
-        mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
-        tail_solve=args.tail_solve,
-    )
-
-    B, R = args.batch, args.reps
-    keys = jax.random.split(jax.random.PRNGKey(0), R + 1)
-    q_batches = [
-        tree.random_configuration(k, (B,)).astype(dtype) for k in keys
-    ]
 
     if args.mode == "tracking":
-        # per-tick warm-started tracking latency (reference tailored-timing
-        # protocol, tests/loik-loid.cpp:1035-1078, batched): every tick
-        # updates ONE constraint target and re-solves from the last duals;
-        # the metric is wall latency per tick vs the 1 kHz control budget
-        from loik_tpu.api import DiffIkSolver
-
-        ee = tree.njoints - 1
-        solver = DiffIkSolver(tree, params.replace(warm_start=True), (ee,),
-                              problem=problem)
-        q = tree.random_configuration(keys[0], (B,)).astype(dtype)
-        ticks = max(50, R)
-        for t in range(5):  # compile + settle duals
-            res = solver.solve_tracking(q, ee, b=jnp.asarray(b[0], dtype))
-        res.converged.block_until_ready()
-        lat = []
-        for t in range(ticks):
-            bt = b[0].copy()
-            bt[2] = args.b3 * np.cos(2 * np.pi * t / ticks)
-            t0 = time.perf_counter()
-            res = solver.solve_tracking(q, ee, b=jnp.asarray(bt, dtype))
-            res.converged.block_until_ready()
-            lat.append(time.perf_counter() - t0)
-        p50_ms = float(np.percentile(lat, 50) * 1e3)
-        # pipelined: enqueue ticks without per-tick sync (a real controller
-        # overlaps device compute with I/O; ticks stay ordered through the
-        # warm-state dependency) — sustained rate, amortizing host RTT
-        t0 = time.perf_counter()
-        for t in range(ticks):
-            bt = b[0].copy()
-            bt[2] = args.b3 * np.sin(2 * np.pi * t / ticks)
-            res = solver.solve_tracking(q, ee, b=jnp.asarray(bt, dtype))
-        res.converged.block_until_ready()
-        pipe_ms = (time.perf_counter() - t0) / ticks * 1e3
-        if args.verbose:
-            it = np.asarray(res.iterations)
-            print(
-                f"# tracking B={B} ticks={ticks} p50={p50_ms:.3f}ms "
-                f"pipelined={pipe_ms:.3f}ms/tick "
-                f"conv={float(np.asarray(res.converged).mean()):.3f} "
-                f"warm iters mean={it.mean():.1f} max={int(it.max())} "
-                f"backend={jax.devices()[0].platform}",
-                file=sys.stderr,
-            )
-        print(json.dumps({
-            "metric": "sustained tracking tick (%s, tol %g, B=%d controllers"
-                      ", pipelined; sync p50 %.2f ms)"
-                      % (args.robot, args.tol, B, p50_ms),
-            "value": round(pipe_ms, 3),
-            "unit": "ms",
-            "vs_baseline": round(1.0 / pipe_ms, 4),  # 1 kHz budget / actual
-        }))
+        args.batch = args.batch or 16384
+        run_tracking(args)
         return
 
-    if args.mode == "two-stage":
-        run = lambda q: solve_two_stage(
-            tree, params, q, problem, stage1_max_iter=args.stage1_max_iter,
-            stage2_max_iter=args.stage2_max_iter, batch_tile=args.batch_tile)
-    else:
-        run = lambda q: solve(tree, params, q, problem)
-
-    # warmup / compile
-    res = run(q_batches[-1])
-    res.nu.block_until_ready()
-
-    lat = []
-    total_converged = 0
-    t_all0 = time.perf_counter()
-    for r in range(R):
-        t0 = time.perf_counter()
-        res = run(q_batches[r])
-        res.converged.block_until_ready()
-        lat.append(time.perf_counter() - t0)
-        total_converged += int(res.converged.sum())
-    t_all = time.perf_counter() - t_all0
-
-    # median-based sustained throughput: per-batch converged count over the
-    # median batch latency (robust to transient host<->device tunnel stalls,
-    # which inflate the mean without reflecting device throughput)
-    p50_ms = float(np.percentile(lat, 50) * 1e3)
-    conv_frac = total_converged / (B * R)
-    throughput = (conv_frac * B) / (p50_ms / 1e3)
-    throughput_wall = total_converged / t_all
-    target = 1e5  # BASELINE.json: >=1e5 converged 7-DoF solves/s/chip @ tol 1e-6
-
-    if args.verbose:
-        it = np.asarray(res.iterations)[np.asarray(res.converged)]
-        print(
-            f"# B={B} R={R} conv={conv_frac:.3f} p50={p50_ms:.2f}ms/batch "
-            f"wall-throughput={throughput_wall:.0f}/s "
-            f"iters mean={it.mean():.1f} max={int(np.asarray(res.iterations).max())} "
-            f"backend={jax.devices()[0].platform}",
-            file=sys.stderr,
-        )
-
-    print(
-        json.dumps(
-            {
-                "metric": "converged diff-IK solves/s/chip (%s, tol %g, %s)"
-                % (args.robot, args.tol, args.mode),
-                "value": round(throughput, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(throughput / target, 4),
-            }
-        )
-    )
+    default_B = dict(flagship=16384, mixed=1024, solo12=10240, talos=4096,
+                     multistart=16384)
+    configs = (["flagship", "mixed", "solo12", "talos", "multistart"]
+               if args.config == "all" else [args.config])
+    user_B = args.batch
+    for name in configs:
+        args.batch = user_B or default_B[name]
+        if name == "mixed":
+            run_mixed(args)
+        elif name == "multistart":
+            run_multistart(args)
+        else:
+            run_standard(args, name)
 
 
 if __name__ == "__main__":

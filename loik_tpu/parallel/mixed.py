@@ -71,6 +71,7 @@ def solve_mixed_padded(
     groups: Sequence[Tuple[KinematicTree, object, IkProblem]],
     params: SolverParams,
     dtype=None,
+    solve_fn=None,
 ) -> List[SolveResult]:
     """One compiled program + one combined batch over heterogeneous
     serial-chain robots.
@@ -80,6 +81,10 @@ def solve_mixed_padded(
     equality constraint at its end-effector (the last joint) — the shape of
     BASELINE configs[1].  Returns per-group SolveResults with each group's
     own nv (padded dofs stripped).
+
+    solve_fn(tree, params, q, problem) overrides the solver backend (e.g.
+    `refine.solve_two_stage` with fused_stage1=False for tol-1e-6 runs; the
+    fused kernel does not yet take batched geometry leaves).
     """
     trees = [g[0] for g in groups]
     for t in trees:
@@ -176,7 +181,8 @@ def solve_mixed_padded(
         constraint_links=(N - 1,),
     )
 
-    res = solve(chain, params, jnp.asarray(q_sup, dtype), sup)
+    run = solve_fn or solve
+    res = run(chain, params, jnp.asarray(q_sup, dtype), sup)
 
     # ---- unpack per group (strip padded dofs/links) ----------------------
     out = []

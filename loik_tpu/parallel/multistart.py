@@ -38,15 +38,22 @@ def task_error(res, problem: IkProblem):
 
 
 def solve_multistart(tree, params: SolverParams, problem: IkProblem, key,
-                     num_seeds: int, mesh=None):
+                     num_seeds: int, mesh=None, solve_fn=None):
     """Solve from `num_seeds` random configurations; return the best seed.
+
+    solve_fn(tree, params, qs, problem) overrides the solver backend (e.g.
+    two-stage refinement for tol-1e-6 scoring); default is the mesh-sharded
+    batched solve.
 
     Returns (best_q, best_nu, best_error, result) where error is the pure
     task residual inf-norm of each converged seed (inf for non-converged)."""
     qs = tree.random_configuration(key, (num_seeds,))
-    if mesh is None:
-        mesh = make_mesh()
-    res = solve_sharded(tree, params, qs, problem, mesh)
+    if solve_fn is not None:
+        res = solve_fn(tree, params, qs, problem)
+    else:
+        if mesh is None:
+            mesh = make_mesh()
+        res = solve_sharded(tree, params, qs, problem, mesh)
     # task error per seed: max constraint violation at the solution
     err = jnp.where(res.converged, task_error(res, problem), jnp.inf)
     best = jnp.argmin(err)
