@@ -150,9 +150,15 @@ class KinematicTree:
         dt = self.dtype
         if t == REVOLUTE:
             ax = self.axis[i]
+            if ax.ndim == 1:
+                # 2-D concat (not a 1-D reshape): Mosaic's layout inference
+                # rejects the (6,) -> (6,1) shape cast inside the fused kernel
+                return jnp.concatenate([jnp.zeros((3, 1), dt), ax[:, None]], axis=0)
             return jnp.concatenate([jnp.zeros_like(ax), ax], axis=-1)[..., None]
         if t == PRISMATIC:
             ax = self.axis[i]
+            if ax.ndim == 1:
+                return jnp.concatenate([ax[:, None], jnp.zeros((3, 1), dt)], axis=0)
             return jnp.concatenate([ax, jnp.zeros_like(ax)], axis=-1)[..., None]
         if t == FREE_FLYER:
             return jnp.eye(6, dtype=dt)
