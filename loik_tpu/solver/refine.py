@@ -29,6 +29,12 @@ from .solve import _solve_impl, solve
 from .state import SolveResult, SolverState
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _solve_jit_delta(tree, params, q, problem, warm_state, tol_scales):
+    return _solve_impl(tree, params, q, problem, warm_state,
+                       tol_scales=tol_scales)
+
+
 def default_batch_tile(njoints: int) -> int:
     """Fused-kernel batch tile sized so the per-tile VMEM working set
     (~dozens of (N,6,6,bt) f32 SSA values) stays inside budget: N=7 at
@@ -139,7 +145,26 @@ def solve_delta_refined(
         freeze_infeasible_on_warm_start=True,
         max_iter=stage2_max_iter or max(60, params.max_iter // 2),
     )
-    res2 = solve(tree32, p2, q32, prob_d, warm)
+    # certify the delta problem against the ORIGINAL problem's adaptive-
+    # tolerance scales (CheckConvergence semantics, loik-loid-optimized.hxx:
+    # 540-565): at x = x_hat + dx the residuals are the original residuals,
+    # but delta-space magnitudes are ~0 and would shrink tol to tol_abs
+    Av_hat_inf = jnp.max(jnp.abs(Av_hat), axis=(1, 2))            # (B,)
+    nu_hat_inf = jnp.max(jnp.abs(nu_hat), axis=1)
+    b_inf0 = jnp.max(jnp.abs(lead(prob32.b, 2)), axis=(1, 2))
+    Href_vhat = jnp.einsum("bnij,bnj->bni", lead(prob32.H_ref, 3), v_hat)
+    Hv_inf0 = jnp.max(
+        jnp.abs(jnp.einsum("bnji,bnj->bni", lead(prob32.H_ref, 3),
+                           lead(prob32.v_ref, 2))), axis=(1, 2))
+    fdpa_inf0 = jnp.max(jnp.abs(st1.fdpa), axis=(0, 1))
+    stfw_inf0 = jnp.max(jnp.abs(st1.stfw), axis=(0, 1))
+    scale_p = jnp.maximum(jnp.maximum(Av_hat_inf, nu_hat_inf), b_inf0)
+    scale_d = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Href_vhat), axis=(1, 2)), Hv_inf0),
+        jnp.maximum(fdpa_inf0, stfw_inf0),
+    )
+    res2 = _solve_jit_delta(tree32, p2, q32, prob_d, warm,
+                            (scale_p, scale_d))
 
     # ---- recombine ------------------------------------------------------
     st2 = res2.state

@@ -270,13 +270,18 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     dual_residual = jnp.maximum(dual_residual_v, dual_residual_nu)
 
     # ---------------- adaptive tolerances (loik-loid-optimized.hxx:540-565)
-    tol_primal = tol_abs + tol_rel * jnp.maximum(
-        jnp.maximum(Av_inf, nu_inf), prob.b_inf
-    )
-    tol_dual = tol_abs + tol_rel * jnp.maximum(
+    scale_primal = jnp.maximum(jnp.maximum(Av_inf, nu_inf), prob.b_inf)
+    scale_dual = jnp.maximum(
         jnp.maximum(bsp.inf_norm_b(Href_v), prob.Hv_inf),
         jnp.maximum(bsp.inf_norm_b(fdpa_new), bsp.inf_norm_b(stfw_new)),
     )
+    if prob.tol_scale_primal is not None:
+        # delta-form refinement: certify against the ORIGINAL problem's
+        # scales (delta magnitudes are ~0; see PreparedProblem)
+        scale_primal = jnp.maximum(scale_primal, prob.tol_scale_primal)
+        scale_dual = jnp.maximum(scale_dual, prob.tol_scale_dual)
+    tol_primal = tol_abs + tol_rel * scale_primal
+    tol_dual = tol_abs + tol_rel * scale_dual
 
     # ---------------- infeasibility certificate pieces --------------------
     # (loik-loid-optimized.hxx:572-606)
@@ -502,17 +507,20 @@ def _flat_nu(tree, padded):
 
 
 def _solve_impl(tree, params: SolverParams, q, problem: IkProblem,
-                warm_state: Optional[SolverState], liMi=None):
+                warm_state: Optional[SolverState], liMi=None,
+                tol_scales=None):
     # On TPU the default matmul precision lowers f32 einsum operands to
     # bfloat16 on the MXU — ~3 significant digits, which stalls the ADMM
     # recursion far above tolerance (0/1024 convergence at tol 1e-4 in
     # testing).  The sweeps are tiny 6x6 contractions; force full f32.
     with jax.default_matmul_precision("highest"):
-        return _solve_impl_inner(tree, params, q, problem, warm_state, liMi)
+        return _solve_impl_inner(tree, params, q, problem, warm_state, liMi,
+                                 tol_scales)
 
 
 def _solve_impl_inner(tree, params: SolverParams, q, problem: IkProblem,
-                      warm_state: Optional[SolverState], liMi=None):
+                      warm_state: Optional[SolverState], liMi=None,
+                      tol_scales=None):
     if liMi is None:
         dtype = q.dtype
         B = q.shape[0]
@@ -525,6 +533,12 @@ def _solve_impl_inner(tree, params: SolverParams, q, problem: IkProblem,
         dtype = liMi_R.dtype
         B = liMi_R.shape[-1]
     prob = prepare_problem(tree, problem, B, dtype)
+    if tol_scales is not None:
+        prob = dataclasses.replace(
+            prob,
+            tol_scale_primal=jnp.asarray(tol_scales[0], dtype),
+            tol_scale_dual=jnp.asarray(tol_scales[1], dtype),
+        )
     if warm_state is None:
         st = init_state(tree, B, problem.num_constraints, dtype,
                         params.max_iter, params.logging)

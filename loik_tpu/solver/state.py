@@ -55,6 +55,13 @@ class PreparedProblem:
     b_inf: jnp.ndarray   # (B,)
     Hv_inf: jnp.ndarray  # (B,)
     constraint_links: Tuple[int, ...] = static_field(default=())
+    # optional (B,) floors folded into the OSQP adaptive tolerances — used by
+    # the delta-form refinement to certify the SHIFTED problem against the
+    # ORIGINAL problem's scales (delta-space magnitudes are ~0, which would
+    # otherwise make the adaptive tolerance stricter than the reference's
+    # CheckConvergence semantics, loik-loid-optimized.hxx:540-565)
+    tol_scale_primal: object = None
+    tol_scale_dual: object = None
 
 
 @_register

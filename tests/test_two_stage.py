@@ -70,3 +70,31 @@ def test_two_stage_fused_stage1_matches_xla_stage1():
         np.asarray(r_xla.nu)[conv], np.asarray(r_fus.nu)[conv],
         rtol=0, atol=1e-9,
     )
+
+
+def test_delta_refined_certifies_true_residuals():
+    """Pure-f32 delta-form refinement: certified problems must be GENUINELY
+    accurate when re-checked in f64, and certification must use the
+    ORIGINAL problem's adaptive-tolerance scales (reference CheckConvergence
+    semantics) rather than the near-zero delta-space magnitudes.  The f32
+    certification floor (~64% vs ~81% for f64 on this workload; see
+    ROADMAP round-2 measurements) is a known limitation, asserted as a
+    lower bound so improvements can only tighten it."""
+    import jax.numpy as jnp
+
+    from loik_tpu.solver.refine import solve_delta_refined
+
+    tree, prob, qs = _workload(B=256, seed=5)
+    params = PARAMS.replace(mu=0.1, mu_equality_scale_factor=1e5,
+                            tail_solve=False, max_iter=200)
+    r64 = solve(tree, params, qs, prob)
+    rdf = solve_delta_refined(tree, params, qs.astype(jnp.float32), prob)
+    c64 = np.asarray(r64.converged)
+    cdf = np.asarray(rdf.converged)
+    assert cdf.sum() >= 0.7 * c64.sum()          # the measured floor, bounded
+    assert not np.any(cdf & ~c64)                # never certify what f64 won't
+    # true f64-recomputed task error of every certified problem within the
+    # adaptive tolerance (tol_abs + tol_rel * scale, scale >= |b| = 0.2)
+    vis = np.asarray(rdf.vis, np.float64)
+    err = np.abs(vis[:, 6, :] - np.array([0, 0, 0.2, 0, 0, 0.0])).max(axis=1)
+    assert err[cdf].max() < 1e-5
