@@ -180,11 +180,11 @@ def run_mixed(args):
         mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
         tail_solve=args.tail_solve,
     )
-    # two-stage via the XLA path (fused stage 1 does not take the mixed
-    # path's batched geometry leaves yet)
+    # fused stage 1 handles the batched geometry leaves via precomputed
+    # per-problem subspaces (PreparedProblem.S_all)
     solve_fn = lambda t, p, q, pr: solve_two_stage(
         t, p, q, pr, stage1_max_iter=args.stage1_max_iter,
-        stage2_max_iter=args.stage2_max_iter, fused_stage1=False)
+        stage2_max_iter=args.stage2_max_iter, batch_tile=args.batch_tile)
 
     R = args.reps
     keys = jax.random.split(jax.random.PRNGKey(0), 2 * (R + 1)).reshape(

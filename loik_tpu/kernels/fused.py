@@ -61,11 +61,12 @@ def _tile_spec(shape, bt):
     return pl.BlockSpec(block, lambda i, n=nlead: (0,) * n + (i,))
 
 
-def _kernel(tree, params, constraint_links, n_state, n_prob, *refs):
+def _kernel(tree, params, constraint_links, n_state, prob_fields, *refs):
     """Kernel body: rebuild state/problem from refs, run the shared solve
     loop, write results back.  `tree` here carries only STATIC topology; its
     array leaves (the joint axes, which joint_S derives S from) arrive via
     refs — kernels cannot capture array constants."""
+    n_prob = len(prob_fields)
     state_in = refs[:n_state]
     prob_in = refs[n_state : n_state + n_prob]
     liMi_R_ref, liMi_p_ref, axis_ref = refs[n_state + n_prob : n_state + n_prob + 3]
@@ -89,7 +90,7 @@ def _kernel(tree, params, constraint_links, n_state, n_prob, *refs):
         if name in _BOOL_FIELDS:
             v = v != 0             # (1,BT) i32 -> (1,BT) bool
         vals[name] = v
-    pvals = {name: ref[:] for name, ref in zip(_PROB_FIELDS, prob_in)}
+    pvals = {name: ref[:] for name, ref in zip(prob_fields, prob_in)}
     pvals["b_inf"] = pvals["b_inf"][0]
     pvals["Hv_inf"] = pvals["Hv_inf"][0]
 
@@ -181,11 +182,19 @@ def fused_solve_loop(tree, params: SolverParams, prob: PreparedProblem,
         return v
 
     state_arrays = [enc(n, getattr(st, n)) for n in _STATE_FIELDS]
+    # precomputed per-problem subspaces (mixed super-batches) ride along as
+    # one more lane-tiled problem input
+    prob_fields = _PROB_FIELDS + (("S_all",) if prob.S_all is not None else ())
     prob_arrays = [
         getattr(prob, n)[None] if getattr(prob, n).ndim == 1 else getattr(prob, n)
-        for n in _PROB_FIELDS
+        for n in prob_fields
     ]
-    axis = tree.axis.astype(dtype)
+    if tree.axis.ndim == 3:
+        # batched geometry: S arrives precomputed via S_all; the axis leaf is
+        # unused in-kernel, so pass a shape-stable dummy
+        axis = jnp.zeros((tree.njoints, 3), dtype)
+    else:
+        axis = tree.axis.astype(dtype)
     inputs = state_arrays + prob_arrays + [st.liMi_R, st.liMi_p, axis]
 
     from jax.experimental import pallas as pl  # noqa: F811
@@ -197,7 +206,7 @@ def fused_solve_loop(tree, params: SolverParams, prob: PreparedProblem,
 
     kern = functools.partial(
         _kernel, tree, params, prob.constraint_links,
-        len(state_arrays), len(prob_arrays),
+        len(state_arrays), prob_fields,
     )
     outs = pl.pallas_call(
         kern,
@@ -261,6 +270,20 @@ def _fused_body(params, batch_tile, interpret, tree, q, problem, warm_state):
         dtype = q.dtype
         B = q.shape[0]
         prob = prepare_problem(tree, problem, B, dtype)
+        if tree.axis.ndim == 3:
+            # per-problem geometry (mixed super-batch): S is data, not
+            # in-kernel computation — precompute (N, 6, K, B) once
+            K = tree.nv_max
+            if any(k != K for k in tree.nvs):
+                raise ValueError(
+                    "fused path with batched geometry needs uniform joint "
+                    "dof counts (serial 1-dof chains)"
+                )
+            S_all = jnp.stack(
+                [jnp.moveaxis(tree.joint_S(i).astype(dtype), 0, -1)
+                 for i in range(tree.njoints)]
+            )
+            prob = dataclasses.replace(prob, S_all=S_all)
         if warm_state is None:
             from ..solver.state import init_state
 

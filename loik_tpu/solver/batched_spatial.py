@@ -134,11 +134,56 @@ def dual_action_matrix(R, p):
     return jnp.concatenate([top, bot], axis=-3)
 
 
+def skew_mm(p, M):
+    """P(p) @ M for 3x3 M without materializing the skew matrix:
+    row_i(PM) is a cross-product combination — 6 multiplies instead of 27."""
+    a, b, c = p[..., 0:1, :], p[..., 1:2, :], p[..., 2:3, :]
+    M0 = M[..., 0, :, :]
+    M1 = M[..., 1, :, :]
+    M2 = M[..., 2, :, :]
+    return jnp.stack([b * M2 - c * M1, c * M0 - a * M2, a * M1 - b * M0],
+                     axis=-3)
+
+
+def mm_skew(M, p):
+    """M @ P(p) for 3x3 M: columns of MP are cross-product combinations."""
+    a, b, c = p[..., 0:1, :], p[..., 1:2, :], p[..., 2:3, :]
+    C0 = M[..., :, 0, :]
+    C1 = M[..., :, 1, :]
+    C2 = M[..., :, 2, :]
+    return jnp.stack([c * C1 - b * C2, a * C2 - c * C0, b * C0 - a * C1],
+                     axis=-2)
+
+
 def act_sym6(R, p, H):
     """X* H X*^T — congruence transform of a symmetric 6x6 recursion operator
-    to the parent frame (`SE3actOn`, loik-loid-optimized.hxx:66)."""
-    Xd = dual_action_matrix(R, p)
-    return mmt(mm(Xd, H), Xd)
+    to the parent frame (`SE3actOn`, loik-loid-optimized.hxx:66).
+
+    Two implementations with identical math:
+
+    - f32 (the fused-kernel / VPU-issue-bound path): two dense 6x6 products
+      on full-height tiles — fewest vector instructions.
+    - f64 (the XLA refinement stage, where emulated-f64 FLOPs dominate):
+      block form exploiting X* = [[R,0],[[p]x R, R]] and the symmetry of H —
+      six 3x3 rotations + three skew products, ~2.1x fewer multiplies, and
+      the bottom-left block is the mirrored top-right (SE3actOn's own
+      symmetric-triangle trick, loik-loid-optimized.hxx:66).
+    """
+    if H.dtype != jnp.float64:
+        Xd = dual_action_matrix(R, p)
+        return mmt(mm(Xd, H), Xd)
+    A = H[..., LIN, LIN, :]
+    Bl = H[..., ANG, LIN, :]
+    C = H[..., ANG, ANG, :]
+    A1 = mmt(mm(R, A), R)      # R A R^T
+    B1 = mmt(mm(R, Bl), R)     # R B R^T
+    C1 = mmt(mm(R, C), R)      # R C R^T
+    BL = skew_mm(p, A1) + B1                    # P A' + B'
+    TR = jnp.swapaxes(BL, -3, -2)               # = (P A' + B')^T
+    BR = skew_mm(p, TR) - mm_skew(B1, p) + C1   # P A' P^T + P B'^T + B' P^T + C'
+    top = jnp.concatenate([A1, TR], axis=-2)
+    bot = jnp.concatenate([BL, BR], axis=-2)
+    return jnp.concatenate([top, bot], axis=-3)
 
 
 def inf_norm_b(x):

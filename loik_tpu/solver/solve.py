@@ -129,7 +129,10 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
             return jnp.moveaxis(Si, 0, -1)              # (B,6,k) -> (6,k,B)
         return jnp.broadcast_to(Si[:, :, None], (6, tree.nvs[i], B))
 
-    S = [_S_tile(i) for i in range(N)]
+    if prob.S_all is not None:  # precomputed (N,6,K,B), uniform K (see state)
+        S = [prob.S_all[i] for i in range(N)]
+    else:
+        S = [_S_tile(i) for i in range(N)]
     nvs, parents = tree.nvs, tree.parents
     c_links = prob.constraint_links
     mu_eq = st.mu_eq  # (B,)

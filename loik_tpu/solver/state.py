@@ -62,6 +62,12 @@ class PreparedProblem:
     # CheckConvergence semantics, loik-loid-optimized.hxx:540-565)
     tol_scale_primal: object = None
     tol_scale_dual: object = None
+    # optional precomputed motion subspaces (N, 6, K, B), K uniform across
+    # joints — lets per-problem geometry (mixed super-batches, batched axis
+    # leaves) flow through the fused kernel, where S would otherwise have to
+    # be derived in-kernel from the axis leaf.  S is iteration-constant, so
+    # it is data, not computation.
+    S_all: object = None
 
 
 @_register

@@ -89,3 +89,28 @@ def test_mixed_padded_rejects_non_ee_constraint():
     q = tree.neutral()[None]
     with pytest.raises(ValueError, match="end-effector"):
         solve_mixed_padded([(tree, q, problem)], PARAMS)
+
+
+def test_mixed_padded_fused_matches_xla():
+    """The padded super-batch flows through the fused kernel (interpret mode
+    on CPU): precomputed per-problem subspaces (PreparedProblem.S_all) must
+    reproduce the XLA path's in-trace S construction bit-for-bit."""
+    import jax.numpy as jnp
+
+    from loik_tpu.solver.refine import solve_two_stage
+
+    groups = [_group("ur5", 4, 4, 0.1), _group("panda_arm", 5, 4, 0.1)]
+    groups = [(t, jnp.asarray(q, jnp.float32), p) for t, q, p in groups]
+    params = PARAMS.replace(max_iter=60)
+    mk = lambda fused: (lambda t, p, q, pr: solve_two_stage(
+        t, p, q, pr, stage1_max_iter=16, stage2_max_iter=4,
+        fused_stage1=fused, batch_tile=4, _interpret=fused))
+    from loik_tpu.parallel import solve_mixed_padded
+
+    r_fused = solve_mixed_padded(groups, params, solve_fn=mk(True))
+    r_xla = solve_mixed_padded(groups, params, solve_fn=mk(False))
+    for rf, rx in zip(r_fused, r_xla):
+        np.testing.assert_array_equal(np.asarray(rf.converged),
+                                      np.asarray(rx.converged))
+        np.testing.assert_allclose(np.asarray(rf.nu), np.asarray(rx.nu),
+                                   rtol=1e-6, atol=1e-8)
