@@ -272,11 +272,13 @@ def run_multistart(args):
 
     emit(args, f"multistart {B * R} seeds {args.robot} (best task err "
                f"{best:.2e})", lat, B, R, total_converged, t_all, res,
-         unit="seeds/s", count_all=True)
+         unit="seeds/s", count_all=True,
+         metric="multistart seeds/s/chip (%s, tol %g, %s)")
 
 
 def emit(args, label, lat, B, R, total_converged, t_all, res,
-         unit="solves/s", count_all=False):
+         unit="solves/s", count_all=False,
+         metric="converged diff-IK solves/s/chip (%s, tol %g, %s)"):
     import jax
 
     # median-based sustained throughput: per-batch converged count over the
@@ -303,8 +305,7 @@ def emit(args, label, lat, B, R, total_converged, t_all, res,
     print(
         json.dumps(
             {
-                "metric": "converged diff-IK solves/s/chip (%s, tol %g, %s)"
-                % (label, args.tol, args.mode),
+                "metric": metric % (label, args.tol, args.mode),
                 "value": round(throughput, 1),
                 "unit": unit,
                 "vs_baseline": round(throughput / target, 4),

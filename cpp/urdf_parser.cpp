@@ -9,7 +9,8 @@
 // via ctypes (loik_tpu/model/native.py) — no pybind11 required.
 //
 // Scope: the URDF subset the Python parser supports (revolute / continuous /
-// prismatic / floating / fixed; origins, axes, velocity limits).  Both
+// prismatic / floating / planar / fixed, plus the spherical / translation /
+// universal extensions; origins, axes + axis2, velocity limits).  Both
 // parsers are cross-tested against each other in tests/test_native.py.
 
 #include <cctype>
@@ -171,10 +172,13 @@ void parse_doubles(const std::string& s, double* out, int n) {
 
 struct JointOut {
   int parent;        // moving-joint parent index, -1 = world
-  int jtype;         // 0 rev, 1 prism, 2 free-flyer, 3 spherical
+  int jtype;         // 0 rev, 1 prism, 2 free-flyer, 3 spherical,
+                     // 4 unbounded-rev, 5 translation, 6 planar, 7 universal
+                     // (codes match loik_tpu/model/tree.py)
   Mat3 R;            // accumulated placement rotation
   Vec3 p;            // accumulated placement translation
   Vec3 axis;
+  Vec3 axis2;        // universal joints' second rotation axis
   double vel_limit;
   std::string name;
 };
@@ -199,6 +203,7 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
     Mat3 R;
     Vec3 p;
     Vec3 axis{0, 0, 1};
+    Vec3 axis2{0, 1, 0};
     double vel_limit = 1e30;
   };
   std::vector<std::string> links;
@@ -240,6 +245,14 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
             parse_doubles(it->second, v, 3);
             double n = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
             if (n > 0) j.axis = {v[0] / n, v[1] / n, v[2] / n};
+          }
+        } else if (ch.tag == "axis2") {  // universal-joint extension
+          auto it = ch.attrs.find("xyz");
+          if (it != ch.attrs.end()) {
+            double v[3];
+            parse_doubles(it->second, v, 3);
+            double n = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
+            if (n > 0) j.axis2 = {v[0] / n, v[1] / n, v[2] / n};
           }
         } else if (ch.tag == "limit") {
           auto it = ch.attrs.find("velocity");
@@ -288,6 +301,7 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
     ff.parent = -1;
     ff.jtype = 2;
     ff.axis = {0, 0, 1};
+    ff.axis2 = {0, 1, 0};
     ff.vel_limit = 1e30;
     ff.name = "root_joint";
     res.joints.push_back(ff);
@@ -314,11 +328,15 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
         continue;
       }
       int jtype;
-      if (j.type == "revolute" || j.type == "continuous") jtype = 0;
+      if (j.type == "revolute") jtype = 0;
+      else if (j.type == "continuous") jtype = 4;  // pinocchio nq=2 cos/sin
       else if (j.type == "prismatic") jtype = 1;
       else if (j.type == "floating") jtype = 2;
-      else if (j.type == "spherical") jtype = 3;  // extension, like the
-                                                  // Python loader
+      else if (j.type == "spherical") jtype = 3;   // extension, like the
+                                                   // Python loader
+      else if (j.type == "translation") jtype = 5; // extension
+      else if (j.type == "planar") jtype = 6;
+      else if (j.type == "universal") jtype = 7;   // extension (axis2)
       else {
         res.error = "unsupported joint type " + j.type;
         res.joints.clear();
@@ -330,6 +348,7 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
       out.R = R;
       out.p = p;
       out.axis = j.axis;
+      out.axis2 = j.axis2;
       out.vel_limit = j.vel_limit;
       out.name = j.name;
       int idx = static_cast<int>(res.joints.size());
@@ -377,6 +396,18 @@ int loik_urdf_get(int* parents, int* jtypes, double* placement_R,
     axis[3 * i + 1] = js[i].axis.y;
     axis[3 * i + 2] = js[i].axis.z;
     vel_limit[i] = js[i].vel_limit;
+  }
+  return 0;
+}
+
+// Second rotation axes (universal joints; default (0,1,0) elsewhere):
+// axis2 (N*3 f64).  Returns 0 on success.
+int loik_urdf_get_axis2(double* axis2) {
+  const auto& js = g_result.joints;
+  for (size_t i = 0; i < js.size(); i++) {
+    axis2[3 * i] = js[i].axis2.x;
+    axis2[3 * i + 1] = js[i].axis2.y;
+    axis2[3 * i + 2] = js[i].axis2.z;
   }
   return 0;
 }

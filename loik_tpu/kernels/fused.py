@@ -79,6 +79,7 @@ def _kernel(tree, params, constraint_links, n_state, prob_fields, *refs):
         placement_p=z3[:, 0],
         axis=axis_ref[:],
         velocity_limit=jnp.zeros((tree.nv,), axis_ref.dtype),
+        axis2=None,  # q-dependent joints are rejected before the kernel
     )
 
     # keep every per-problem scalar as (1, BT) — bools decoded from i32 but
@@ -91,8 +92,9 @@ def _kernel(tree, params, constraint_links, n_state, prob_fields, *refs):
             v = v != 0             # (1,BT) i32 -> (1,BT) bool
         vals[name] = v
     pvals = {name: ref[:] for name, ref in zip(prob_fields, prob_in)}
-    pvals["b_inf"] = pvals["b_inf"][0]
-    pvals["Hv_inf"] = pvals["Hv_inf"][0]
+    for scalar in ("b_inf", "Hv_inf", "tol_scale_primal", "tol_scale_dual"):
+        if scalar in pvals:
+            pvals[scalar] = pvals[scalar][0]  # (1,BT) -> (BT,) float vector
 
     liMi_R = liMi_R_ref[:]
     liMi_p = liMi_p_ref[:]
@@ -182,14 +184,26 @@ def fused_solve_loop(tree, params: SolverParams, prob: PreparedProblem,
         return v
 
     state_arrays = [enc(n, getattr(st, n)) for n in _STATE_FIELDS]
-    # precomputed per-problem subspaces (mixed super-batches) ride along as
-    # one more lane-tiled problem input
-    prob_fields = _PROB_FIELDS + (("S_all",) if prob.S_all is not None else ())
+    # optional per-problem leaves (precomputed subspaces for mixed
+    # super-batches, the delta-duals nu-block offset, per-problem tolerance
+    # scales) ride along as additional lane-tiled problem inputs
+    prob_fields = _PROB_FIELDS + tuple(
+        n for n in ("S_all", "r_offset", "tol_scale_primal", "tol_scale_dual")
+        if getattr(prob, n) is not None
+    )
     prob_arrays = [
         getattr(prob, n)[None] if getattr(prob, n).ndim == 1 else getattr(prob, n)
         for n in prob_fields
     ]
     if tree.axis.ndim == 3:
+        if prob.S_all is None:
+            raise ValueError(
+                "fused_solve_loop with batched geometry (axis ndim 3) needs "
+                "precomputed per-problem subspaces in prob.S_all — without "
+                "them the in-kernel dummy axis would silently zero every "
+                "motion subspace (use solve_fused / _fused_body, which set "
+                "S_all)"
+            )
         # batched geometry: S arrives precomputed via S_all; the axis leaf is
         # unused in-kernel, so pass a shape-stable dummy
         axis = jnp.zeros((tree.njoints, 3), dtype)
@@ -266,6 +280,11 @@ def _run_fused(params, batch_tile, interpret, tree, q, problem, warm_state):
 
 def _fused_body(params, batch_tile, interpret, tree, q, problem, warm_state):
     """Traceable fused-solve body (also inlined by refine._two_stage_jit)."""
+    if tree.has_q_dependent_S:
+        raise ValueError(
+            "the fused kernel does not support configuration-dependent "
+            "motion subspaces (universal joints); use solver.solve"
+        )
     with jax.default_matmul_precision("highest"):
         dtype = q.dtype
         B = q.shape[0]

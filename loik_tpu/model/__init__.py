@@ -1,8 +1,12 @@
 from .tree import (
     FREE_FLYER,
+    PLANAR,
     PRISMATIC,
     REVOLUTE,
+    REVOLUTE_UNBOUNDED,
     SPHERICAL,
+    TRANSLATION,
+    UNIVERSAL,
     KinematicTree,
     make_tree,
 )
@@ -18,4 +22,8 @@ __all__ = [
     "PRISMATIC",
     "FREE_FLYER",
     "SPHERICAL",
+    "REVOLUTE_UNBOUNDED",
+    "TRANSLATION",
+    "PLANAR",
+    "UNIVERSAL",
 ]

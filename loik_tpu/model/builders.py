@@ -9,8 +9,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from .tree import (FREE_FLYER, PRISMATIC, REVOLUTE, SPHERICAL, KinematicTree,
-                   make_tree)
+from .tree import (FREE_FLYER, PLANAR, PRISMATIC, REVOLUTE,
+                   REVOLUTE_UNBOUNDED, SPHERICAL, TRANSLATION, UNIVERSAL,
+                   KinematicTree, make_tree)
 
 
 def serial_chain(n: int, jtype: int = REVOLUTE, link_length: float = 0.3,
@@ -35,18 +36,23 @@ def random_tree(rng: np.random.Generator, n_joints: int,
                 allow_prismatic: bool = True,
                 allow_spherical: bool = False,
                 force_spherical: bool = False,
+                force_types=(),
                 name: str = "random") -> KinematicTree:
     """Random topology (each joint's parent drawn from earlier joints),
     random placements and axes, mixed revolute/prismatic(/spherical) joints.
 
     `force_spherical` guarantees at least one spherical joint (the last
-    non-base joint) regardless of the draws — fuzz tests that target the
-    3-dof D-block path must not depend on RNG luck."""
+    non-base joint) regardless of the draws; `force_types` likewise pins the
+    LAST len(force_types) joints to the given type codes (e.g. the broadened
+    set: PLANAR / TRANSLATION / REVOLUTE_UNBOUNDED / UNIVERSAL) — fuzz tests
+    that target a specific D-block or subspace path must not depend on RNG
+    luck."""
     joints = []
     start = 0
     if floating_base:
         joints.append(dict(name="root", parent=-1, type=FREE_FLYER))
         start = 1
+    force_types = tuple(force_types)
     for i in range(start, n_joints):
         parent = -1 if i == 0 else int(rng.integers(0, i))
         t = REVOLUTE
@@ -57,8 +63,12 @@ def random_tree(rng: np.random.Generator, n_joints: int,
             t = SPHERICAL
         if force_spherical and i == n_joints - 1:
             t = SPHERICAL
+        if force_types and i >= n_joints - len(force_types):
+            t = force_types[i - (n_joints - len(force_types))]
         axis = rng.normal(size=3)
         axis /= np.linalg.norm(axis)
+        axis2 = rng.normal(size=3)
+        axis2 /= np.linalg.norm(axis2)
         joints.append(
             dict(
                 name=f"j{i}",
@@ -67,6 +77,7 @@ def random_tree(rng: np.random.Generator, n_joints: int,
                 xyz=tuple(rng.uniform(-0.4, 0.4, size=3)),
                 rpy=tuple(rng.uniform(-np.pi, np.pi, size=3)),
                 axis=tuple(axis),
+                axis2=tuple(axis2),
                 velocity_limit=5.0,
             )
         )

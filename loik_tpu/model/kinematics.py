@@ -38,7 +38,8 @@ def joint_jacobian(tree, q, link: int, frame: str = "local"):
         Rl, pl = spatial.se3_inverse(oR[..., link, :, :], op[..., link, :])
         Ra, pa = oR[..., a, :, :], op[..., a, :]
         Rla, pla = spatial.se3_compose(Rl, pl, Ra, pa)
-        Sa = tree.joint_S(a)  # (6, k)
+        Sa = tree.joint_S(a, q)  # (6, k); q covers q-dependent subspaces
+                                 # (universal joints)
         k = tree.nvs[a]
         cols = spatial.act_motion(
             Rla[..., None, :, :], pla[..., None, :], jnp.moveaxis(Sa, -1, 0)

@@ -60,7 +60,9 @@ def native_available() -> bool:
 def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
                      floating_base: bool = False):
     """Parse a URDF string or file path with the native parser."""
-    from .tree import FREE_FLYER, PRISMATIC, REVOLUTE, SPHERICAL, KinematicTree
+    from .tree import (FREE_FLYER, PLANAR, PRISMATIC, REVOLUTE,
+                       REVOLUTE_UNBOUNDED, SPHERICAL, TRANSLATION, UNIVERSAL,
+                       KinematicTree)
 
     if "<robot" not in source:
         with open(source) as f:
@@ -87,8 +89,14 @@ def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
             vel.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
         names = tuple(lib.loik_urdf_names().decode().split("\n")[:n])
+        axis2 = np.zeros((n, 3), np.float64)
+        lib.loik_urdf_get_axis2(
+            axis2.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
 
-    type_map = {0: REVOLUTE, 1: PRISMATIC, 2: FREE_FLYER, 3: SPHERICAL}
+    type_map = {0: REVOLUTE, 1: PRISMATIC, 2: FREE_FLYER, 3: SPHERICAL,
+                4: REVOLUTE_UNBOUNDED, 5: TRANSLATION, 6: PLANAR,
+                7: UNIVERSAL}
     from .tree import JOINT_NQ, JOINT_NV
 
     jt = tuple(type_map[int(t)] for t in jtypes)
@@ -114,4 +122,6 @@ def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
         idx_q=tuple(idx_q),
         joint_names=names,
         name=name or "robot",
+        axis2=(jnp.asarray(axis2, dtype)
+               if any(t == UNIVERSAL for t in jt) else None),
     )

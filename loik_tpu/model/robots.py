@@ -159,6 +159,40 @@ def talos_like(dtype_str: str = "float64") -> KinematicTree:
     return make_tree(J, name="talos_like", dtype=jnp.dtype(dtype_str))
 
 
+@functools.lru_cache(maxsize=None)
+def mobile_ur5(dtype_str: str = "float64") -> KinematicTree:
+    """Mobile manipulator: planar base (x, y, yaw — e.g. an omnidirectional
+    AGV) carrying a UR5 arm whose wrist joints are CONTINUOUS (unbounded
+    revolute, nq=2 cos/sin), plus a 2-dof universal pan/tilt sensor head —
+    the bench-class model exercising the broadened joint set (PLANAR,
+    REVOLUTE_UNBOUNDED, UNIVERSAL) end-to-end.  nv = 3 + 6 + 2 = 11."""
+    from .tree import PLANAR, REVOLUTE_UNBOUNDED, UNIVERSAL
+
+    J = [dict(name="base_planar_joint", parent=-1, type=PLANAR,
+              velocity_limit=1.5)]
+    arm = [
+        dict(name="shoulder_pan_joint", parent=0, type=REVOLUTE,
+             xyz=(0.2, 0, 0.5), axis=(0, 0, 1), velocity_limit=3.15),
+        dict(name="shoulder_lift_joint", parent=1, type=REVOLUTE,
+             xyz=(0, 0.13585, 0), rpy=(0, 1.570796326794897, 0),
+             axis=(0, 1, 0), velocity_limit=3.15),
+        dict(name="elbow_joint", parent=2, type=REVOLUTE,
+             xyz=(0, -0.1197, 0.425), axis=(0, 1, 0), velocity_limit=3.15),
+        dict(name="wrist_1_joint", parent=3, type=REVOLUTE_UNBOUNDED,
+             xyz=(0, 0, 0.39225), rpy=(0, 1.570796326794897, 0),
+             axis=(0, 1, 0), velocity_limit=3.2),
+        dict(name="wrist_2_joint", parent=4, type=REVOLUTE_UNBOUNDED,
+             xyz=(0, 0.093, 0), axis=(0, 0, 1), velocity_limit=3.2),
+        dict(name="wrist_3_joint", parent=5, type=REVOLUTE_UNBOUNDED,
+             xyz=(0, 0.09465, 0), axis=(0, 1, 0), velocity_limit=3.2),
+    ]
+    J.extend(arm)
+    J.append(dict(name="head_universal_joint", parent=0, type=UNIVERSAL,
+                  xyz=(-0.15, 0, 0.9), axis=(0, 0, 1), axis2=(0, 1, 0),
+                  velocity_limit=2.0))
+    return make_tree(J, name="mobile_ur5", dtype=jnp.dtype(dtype_str))
+
+
 def get(name: str, dtype_str: str = "float64") -> KinematicTree:
     registry = {
         "panda": panda,
@@ -167,5 +201,6 @@ def get(name: str, dtype_str: str = "float64") -> KinematicTree:
         "solo12": solo12,
         "talos": talos,
         "talos_like": talos_like,
+        "mobile_ur5": mobile_ur5,
     }
     return registry[name](dtype_str)

@@ -20,8 +20,14 @@ unlike pinocchio where joint 0 is the universe) has
   a configuration map M(q_i) computed per joint type.
 
 Supported joint types mirror the pinocchio joints the reference dispatches
-over via `jmodel.calc_aba` visitors (loik-loid-optimized.hxx:60):
-revolute (arbitrary axis), prismatic, free-flyer, spherical.
+over via `jmodel.calc_aba` visitors (loik-loid-optimized.hxx:60): revolute
+(arbitrary axis), prismatic, free-flyer, spherical, unbounded revolute
+(nq=2 cos/sin, the Pinocchio convention for URDF `continuous`), translation
+(3-dof), planar (x, y, θ with nq=4 x/y/cos/sin), and universal (two
+sequential rotations; its motion subspace is CONFIGURATION-dependent —
+S's second column is fixed, the first is the first axis pulled back through
+the second rotation — so trees containing it use the q-aware `joint_S(i, q)`
+and the solver precomputes per-problem subspaces at solve time).
 """
 
 from __future__ import annotations
@@ -40,9 +46,15 @@ REVOLUTE = 0
 PRISMATIC = 1
 FREE_FLYER = 2
 SPHERICAL = 3
+REVOLUTE_UNBOUNDED = 4   # nq = (cos, sin): pinocchio JointModelRevoluteUnbounded
+TRANSLATION = 5          # 3-dof translation: pinocchio JointModelTranslation
+PLANAR = 6               # x, y, θ; nq = (x, y, cos, sin): pinocchio JointModelPlanar
+UNIVERSAL = 7            # two sequential rotations: pinocchio JointModelUniversal
 
-JOINT_NV = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 6, SPHERICAL: 3}
-JOINT_NQ = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 7, SPHERICAL: 4}
+JOINT_NV = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 6, SPHERICAL: 3,
+            REVOLUTE_UNBOUNDED: 1, TRANSLATION: 3, PLANAR: 3, UNIVERSAL: 2}
+JOINT_NQ = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 7, SPHERICAL: 4,
+            REVOLUTE_UNBOUNDED: 2, TRANSLATION: 3, PLANAR: 4, UNIVERSAL: 2}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -63,18 +75,22 @@ class KinematicTree:
     idx_q: Tuple[int, ...]        # (N,) first config index of each joint
     joint_names: Tuple[str, ...]  # (N,)
     name: str = "robot"
+    # second rotation axis (universal joints only; None when no joint uses it)
+    axis2: object = None          # (N, 3) array leaf or None
 
     # ------------------------------------------------------------------ #
     # pytree plumbing
     # ------------------------------------------------------------------ #
     def tree_flatten(self):
-        leaves = (self.placement_R, self.placement_p, self.axis, self.velocity_limit)
+        leaves = (self.placement_R, self.placement_p, self.axis,
+                  self.velocity_limit, self.axis2)
         aux = (self.parents, self.jtypes, self.idx_v, self.idx_q, self.joint_names, self.name)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, *aux)
+        pR, pp, ax, vl, ax2 = leaves
+        return cls(pR, pp, ax, vl, *aux, axis2=ax2)
 
     # ------------------------------------------------------------------ #
     # static derived properties
@@ -140,15 +156,24 @@ class KinematicTree:
     # ------------------------------------------------------------------ #
     # motion subspaces
     # ------------------------------------------------------------------ #
-    def joint_S(self, i: int) -> jnp.ndarray:
+    @property
+    def has_q_dependent_S(self) -> bool:
+        """True when any joint's motion subspace depends on the configuration
+        (universal joints) — the solver then computes per-problem subspaces
+        at solve time instead of trace-constant ones."""
+        return any(t == UNIVERSAL for t in self.jtypes)
+
+    def joint_S(self, i: int, q: jnp.ndarray = None) -> jnp.ndarray:
         """Motion subspace of joint i, shape (6, nv_i), [linear; angular] rows.
 
         With per-problem batched geometry leaves (axis of shape (N, B, 3),
         used by the mixed-topology super-batch path) the 1-dof subspaces gain
-        a LEADING batch dim: (B, 6, 1)."""
+        a LEADING batch dim: (B, 6, 1).  Universal joints are configuration-
+        dependent: pass ``q`` (shape (..., nq)) and batch dims of ``q`` lead
+        the result."""
         t = self.jtypes[i]
         dt = self.dtype
-        if t == REVOLUTE:
+        if t in (REVOLUTE, REVOLUTE_UNBOUNDED):
             ax = self.axis[i]
             if ax.ndim == 1:
                 # 2-D concat (not a 1-D reshape): Mosaic's layout inference
@@ -164,6 +189,35 @@ class KinematicTree:
             return jnp.eye(6, dtype=dt)
         if t == SPHERICAL:
             return jnp.concatenate([jnp.zeros((3, 3), dt), jnp.eye(3, dtype=dt)], axis=0)
+        if t == TRANSLATION:
+            return jnp.concatenate([jnp.eye(3, dtype=dt), jnp.zeros((3, 3), dt)], axis=0)
+        if t == PLANAR:
+            # local-frame planar twist: v = (vx, vy, 0; 0, 0, ω) — constant S
+            # (pinocchio MotionPlanar; integration handles the manifold)
+            S = np.zeros((6, 3))
+            S[0, 0] = S[1, 1] = S[5, 2] = 1.0
+            return jnp.asarray(S, dt)
+        if t == UNIVERSAL:
+            # body-frame angular velocity of M = R1(q1) R2(q2):
+            #   ω = q̇1 · R2(q2)^T a1  +  q̇2 · a2
+            # (M^T Ṁ expansion) — depends on q2, so S is solve-time data
+            if q is None:
+                raise ValueError(
+                    f"joint {i} is universal: its motion subspace depends on "
+                    "the configuration; call joint_S(i, q)"
+                )
+            iq = self.idx_q[i]
+            a1 = self.axis[i]
+            a2 = self.axis2[i]
+            q2 = q[..., iq + 1]
+            R2 = spatial.rotation_about_axis(
+                jnp.broadcast_to(a2, q2.shape + (3,)), q2
+            )
+            col1 = jnp.einsum("...ji,...j->...i", R2, jnp.broadcast_to(a1, q2.shape + (3,)))
+            col2 = jnp.broadcast_to(a2, q2.shape + (3,))
+            zeros = jnp.zeros(q2.shape + (3, 2), dt)
+            ang = jnp.stack([col1, col2], axis=-1)
+            return jnp.concatenate([zeros, ang], axis=-2)
         raise ValueError(f"unknown joint type {t}")
 
     def joint_S_padded(self) -> jnp.ndarray:
@@ -212,6 +266,45 @@ class KinematicTree:
             R = spatial.quat_to_rotmat(q[..., iq : iq + 4])
             p = jnp.zeros(R.shape[:-2] + (3,), self.dtype)
             return R, p
+        if t == REVOLUTE_UNBOUNDED:
+            # nq = (cos, sin), normalized like pinocchio (robust to drift)
+            c, s = q[..., iq], q[..., iq + 1]
+            n = jnp.sqrt(c * c + s * s)
+            c, s = c / n, s / n
+            R = spatial.rotation_about_axis_cs(
+                jnp.broadcast_to(self.axis[i], c.shape + (3,)), c, s
+            )
+            return R, jnp.zeros(c.shape + (3,), self.dtype)
+        if t == TRANSLATION:
+            p = q[..., iq : iq + 3]
+            R = jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), p.shape[:-1] + (3, 3))
+            return R, p
+        if t == PLANAR:
+            x, y = q[..., iq], q[..., iq + 1]
+            c, s = q[..., iq + 2], q[..., iq + 3]
+            n = jnp.sqrt(c * c + s * s)
+            c, s = c / n, s / n
+            o = jnp.zeros_like(c)
+            l = jnp.ones_like(c)
+            R = jnp.stack(
+                [
+                    jnp.stack([c, -s, o], axis=-1),
+                    jnp.stack([s, c, o], axis=-1),
+                    jnp.stack([o, o, l], axis=-1),
+                ],
+                axis=-2,
+            )
+            p = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
+            return R, p
+        if t == UNIVERSAL:
+            q1, q2 = q[..., iq], q[..., iq + 1]
+            R1 = spatial.rotation_about_axis(
+                jnp.broadcast_to(self.axis[i], q1.shape + (3,)), q1
+            )
+            R2 = spatial.rotation_about_axis(
+                jnp.broadcast_to(self.axis2[i], q2.shape + (3,)), q2
+            )
+            return R1 @ R2, jnp.zeros(q1.shape + (3,), self.dtype)
         raise ValueError(f"unknown joint type {t}")
 
     def neutral(self) -> jnp.ndarray:
@@ -222,6 +315,10 @@ class KinematicTree:
                 q[self.idx_q[i] + 6] = 1.0  # unit quaternion w
             elif t == SPHERICAL:
                 q[self.idx_q[i] + 3] = 1.0
+            elif t == REVOLUTE_UNBOUNDED:
+                q[self.idx_q[i]] = 1.0      # cos = 1
+            elif t == PLANAR:
+                q[self.idx_q[i] + 2] = 1.0  # cos = 1
         return jnp.asarray(q, dtype=self.dtype)
 
     def random_configuration(self, key, batch_shape=()) -> jnp.ndarray:
@@ -229,16 +326,27 @@ class KinematicTree:
         q = jax.random.uniform(
             key, batch_shape + (self.nq,), dtype=self.dtype, minval=-np.pi, maxval=np.pi
         )
-        # normalize quaternion blocks
+        # normalize quaternion / (cos, sin) blocks; translations to [-1, 1]
         for i, t in enumerate(self.jtypes):
+            iq = self.idx_q[i]
             if t in (FREE_FLYER, SPHERICAL):
-                iq = self.idx_q[i] + (3 if t == FREE_FLYER else 0)
-                quat = q[..., iq : iq + 4]
+                iqq = iq + (3 if t == FREE_FLYER else 0)
+                quat = q[..., iqq : iqq + 4]
                 quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
-                q = q.at[..., iq : iq + 4].set(quat)
+                q = q.at[..., iqq : iqq + 4].set(quat)
             if t == FREE_FLYER:
-                iq = self.idx_q[i]
                 q = q.at[..., iq : iq + 3].set(q[..., iq : iq + 3] / np.pi)  # xyz in [-1, 1]
+            elif t == TRANSLATION:
+                q = q.at[..., iq : iq + 3].set(q[..., iq : iq + 3] / np.pi)
+            elif t == REVOLUTE_UNBOUNDED:
+                ang = q[..., iq]  # uniform angle -> (cos, sin) on the circle
+                q = q.at[..., iq].set(jnp.cos(ang))
+                q = q.at[..., iq + 1].set(jnp.sin(ang))
+            elif t == PLANAR:
+                q = q.at[..., iq : iq + 2].set(q[..., iq : iq + 2] / np.pi)
+                ang = q[..., iq + 2]
+                q = q.at[..., iq + 2].set(jnp.cos(ang))
+                q = q.at[..., iq + 3].set(jnp.sin(ang))
         return q
 
     def integrate(self, q: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
@@ -256,6 +364,30 @@ class KinematicTree:
             iq, iv = self.idx_q[i], self.idx_v[i]
             if t in (REVOLUTE, PRISMATIC):
                 out = out.at[..., iq].set(out[..., iq] + dq[..., iv])
+            elif t in (TRANSLATION, UNIVERSAL):
+                # vector-space joints: plain addition (pinocchio convention;
+                # a translation joint's local frame never rotates, and the
+                # universal joint's config space is two bounded angles)
+                k = JOINT_NV[t]
+                out = out.at[..., iq : iq + k].set(
+                    out[..., iq : iq + k] + dq[..., iv : iv + k]
+                )
+            elif t == REVOLUTE_UNBOUNDED:
+                c, s = out[..., iq], out[..., iq + 1]
+                dth = dq[..., iv]
+                dc, ds = jnp.cos(dth), jnp.sin(dth)
+                out = out.at[..., iq].set(c * dc - s * ds)
+                out = out.at[..., iq + 1].set(s * dc + c * ds)
+            elif t == PLANAR:
+                # SE(2) manifold step: M_new = M(q) * exp2(dq), local tangent
+                c, s = out[..., iq + 2], out[..., iq + 3]
+                dc, ds, tx, ty = spatial.se2_exp(
+                    dq[..., iv], dq[..., iv + 1], dq[..., iv + 2]
+                )
+                out = out.at[..., iq].set(out[..., iq] + c * tx - s * ty)
+                out = out.at[..., iq + 1].set(out[..., iq + 1] + s * tx + c * ty)
+                out = out.at[..., iq + 2].set(c * dc - s * ds)
+                out = out.at[..., iq + 3].set(s * dc + c * ds)
             elif t == SPHERICAL:
                 quat = out[..., iq : iq + 4]
                 dquat = spatial.exp3_quat(dq[..., iv : iv + 3])
@@ -315,6 +447,7 @@ class KinematicTree:
             placement_p=self.placement_p.astype(dtype),
             axis=self.axis.astype(dtype),
             velocity_limit=self.velocity_limit.astype(dtype),
+            axis2=None if self.axis2 is None else self.axis2.astype(dtype),
         )
 
 
@@ -322,11 +455,12 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
     """Build a KinematicTree from a list of joint dicts.
 
     Each dict: {name, parent (int, -1=world), type, axis (3,) optional,
+    axis2 (3,) optional (universal joints' second rotation axis),
     xyz (3,) optional, rpy (3,) optional}.
     Joints must be listed in topological order (parent before child).
     """
     parents, jtypes, names = [], [], []
-    pR, pp, axes = [], [], []
+    pR, pp, axes, axes2 = [], [], [], []
     idx_v, idx_q = [], []
     nv = nq = 0
     for j in joints:
@@ -344,9 +478,14 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
         n = np.linalg.norm(ax)
         if n > 0:
             ax = ax / n
+        ax2 = np.asarray(j.get("axis2", (0.0, 1.0, 0.0)), dtype=np.float64)
+        n2 = np.linalg.norm(ax2)
+        if n2 > 0:
+            ax2 = ax2 / n2
         pR.append(R)
         pp.append(xyz)
         axes.append(ax)
+        axes2.append(ax2)
         idx_v.append(nv)
         idx_q.append(nq)
         nv += JOINT_NV[t]
@@ -366,4 +505,6 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
         idx_q=tuple(idx_q),
         joint_names=tuple(names),
         name=name,
+        axis2=(jnp.asarray(np.stack(axes2), dtype=dtype)
+               if any(t == UNIVERSAL for t in jtypes) else None),
     )

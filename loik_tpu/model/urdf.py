@@ -16,14 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import spatial
-from .tree import FREE_FLYER, PRISMATIC, REVOLUTE, SPHERICAL, KinematicTree, make_tree
+from .tree import (FREE_FLYER, PLANAR, PRISMATIC, REVOLUTE,
+                   REVOLUTE_UNBOUNDED, SPHERICAL, TRANSLATION, UNIVERSAL,
+                   KinematicTree, make_tree)
 
 _TYPE_MAP = {
     "revolute": REVOLUTE,
-    "continuous": REVOLUTE,
+    # Pinocchio maps URDF `continuous` to JointModelRevoluteUnbounded
+    # (nq=2 cos/sin) — same convention here
+    "continuous": REVOLUTE_UNBOUNDED,
     "prismatic": PRISMATIC,
     "floating": FREE_FLYER,
-    "spherical": SPHERICAL,  # not standard URDF; accepted as an extension
+    "planar": PLANAR,
+    "spherical": SPHERICAL,      # not standard URDF; accepted as an extension
+    "translation": TRANSLATION,  # extension (pinocchio JointModelTranslation)
+    "universal": UNIVERSAL,      # extension; second axis via <axis2 xyz=.../>
 }
 
 
@@ -71,6 +78,9 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
         jd["axis"] = (
             np.fromstring(ax.get("xyz"), sep=" ") if ax is not None else np.array([0.0, 0.0, 1.0])
         )
+        ax2 = j.find("axis2")  # universal-joint extension
+        if ax2 is not None and ax2.get("xyz"):
+            jd["axis2"] = np.fromstring(ax2.get("xyz"), sep=" ")
         lim = j.find("limit")
         jd["velocity_limit"] = (
             float(lim.get("velocity")) if lim is not None and lim.get("velocity") else np.inf
@@ -113,6 +123,8 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
             entry = dict(name=jd["name"], parent=parent_idx, type=t)
             entry["_R"], entry["_p"] = R, p
             entry["axis"] = jd["axis"]
+            if "axis2" in jd:
+                entry["axis2"] = jd["axis2"]
             entry["velocity_limit"] = jd["velocity_limit"]
             out_joints.append(entry)
             stack.append((jd["child_link"], idx, np.eye(3), np.zeros(3)))
@@ -123,6 +135,7 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
         [
             dict(
                 name=e["name"], parent=e["parent"], type=e["type"], axis=e.get("axis", (0, 0, 1)),
+                axis2=e.get("axis2", (0, 1, 0)),
                 velocity_limit=e.get("velocity_limit", np.inf),
             )
             for e in out_joints

@@ -61,8 +61,13 @@ class OracleSolver:
         self.parents = tree.parents
         self.idx_v = tree.idx_v
         self.nvs = tree.nvs
-        # exact-size motion subspaces (6, nv_i), constant per joint type
-        self.S = [_np(tree.joint_S(i)) for i in range(self.N)]
+        # exact-size motion subspaces (6, nv_i); constant per joint type
+        # except universal joints, whose S is recomputed from q at
+        # fwd_pass_init time (configuration-dependent subspace)
+        if tree.has_q_dependent_S:
+            self.S = [np.zeros((6, k)) for k in self.nvs]  # until FK runs
+        else:
+            self.S = [_np(tree.joint_S(i)) for i in range(self.N)]
         self.qp_var_dim = 6 * self.N + self.nv
         self.qp_con_dim = 6 * self.N + 6 * self.N + self.nv
         self.reset_state()
@@ -157,6 +162,8 @@ class OracleSolver:
         lR, lp, oR, op = self.tree.fwd_kinematics(q)
         self.liMi_R, self.liMi_p = _np(lR), _np(lp)
         self.oMi_R, self.oMi_p = _np(oR), _np(op)
+        if self.tree.has_q_dependent_S:
+            self.S = [_np(self.tree.joint_S(i, q)) for i in range(self.N)]
 
     def _action_matrix(self, R, p):
         from .. import spatial

@@ -47,12 +47,17 @@ def initialize(coordinator_address: Optional[str] = None,
     if _initialized:
         return
     # NB: must not touch the backend (jax.devices/process_count) before
-    # jax.distributed.initialize — consult the service handle directly
-    from jax._src import distributed as _jax_dist
+    # jax.distributed.initialize.  Probe for an already-running service via
+    # the private handle when available (best-effort; the API moves across
+    # JAX releases), else rely on initialize() raising on double-init.
+    try:
+        from jax._src import distributed as _jax_dist
 
-    if getattr(_jax_dist.global_state, "client", None) is not None:
-        _initialized = True
-        return
+        if getattr(_jax_dist.global_state, "client", None) is not None:
+            _initialized = True
+            return
+    except Exception:
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -62,7 +67,11 @@ def initialize(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
     _initialized = True
 
 

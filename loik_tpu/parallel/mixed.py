@@ -12,11 +12,18 @@ Two strategies:
 
 The embedding behind the padded path: a chain of ``N`` 1-dof joints is
 extended to ``N_max`` joints whose extra joints have IDENTITY placements and
-``lb = ub = 0``.  An identity joint with zero velocity transmits its parent's
-spatial velocity unchanged (``v_child = X^-1 v_parent + S*0 = v_parent``), so
-the original end-effector constraint moves to the padded chain TIP with its
-value unchanged, and the padded QP's optimum is exactly the original optimum
-extended by zeros.  Per-problem geometry (each robot's placements and joint
+a ZERO motion subspace (zero axis).  A zero-subspace joint is structurally
+frozen: ``U = H S = 0`` in the Riccati sweep, so its ``nu`` is identically
+zero and it transmits its parent's spatial velocity unchanged
+(``v_child = X^-1 v_parent = v_parent``).  The original end-effector
+constraint moves to the padded chain TIP with its value unchanged, and the
+padded program runs the ORIGINAL problem's ADMM trajectory (padded dofs never
+enter BoxProj/DualUpdate or the residual norms — their every term is exactly
+zero).  Freezing via ``lb = ub = 0`` box constraints instead (the previous
+embedding) provably reaches the same optimum but measurably damages the
+trajectory: the degenerate constraints accumulate duals that drag mean
+iterations from ~9.5 to ~38 and UR5 convergence from 0.70 to 0.52 on the
+round-2 probe.  Per-problem geometry (each robot's placements and joint
 axes) rides in BATCHED tree leaves — geometry was always traced data in this
 design (model/tree.py), so mixing robots per lane costs one extra batch dim,
 not a recompile.  There is no reference analog (the C++ solver binds one
@@ -83,8 +90,9 @@ def solve_mixed_padded(
     own nv (padded dofs stripped).
 
     solve_fn(tree, params, q, problem) overrides the solver backend (e.g.
-    `refine.solve_two_stage` with fused_stage1=False for tol-1e-6 runs; the
-    fused kernel does not yet take batched geometry leaves).
+    `refine.solve_two_stage` for tol-1e-6 runs).  The fused kernel supports
+    the batched geometry leaves used here via precomputed per-problem motion
+    subspaces (PreparedProblem.S_all), so two-stage/fused backends work.
     """
     trees = [g[0] for g in groups]
     for t in trees:
@@ -109,13 +117,13 @@ def solve_mixed_padded(
 
     # ---- batched-geometry padded chain ---------------------------------
     # leaves gain a batch dim: (N, B, ...); padded joints are identity
-    # placements with z-axis revolute subspaces (their dofs are locked by
-    # lb = ub = 0 below)
+    # placements with ZERO axes -> zero motion subspace -> structurally
+    # frozen dofs (see module docstring; rotation_about_axis(0, 0) = I so FK
+    # is exact, and D = S'HS + mu = mu stays invertible)
     pR = np.zeros((N, B, 3, 3))
     pR[:] = np.eye(3)
     pp = np.zeros((N, B, 3))
     ax = np.zeros((N, B, 3))
-    ax[:, :, 2] = 1.0
     q_sup = np.zeros((B, N))
     jtypes = []
     off = 0
@@ -151,9 +159,9 @@ def solve_mixed_padded(
     )
 
     # ---- combined problem ----------------------------------------------
-    # padded links: H_ref = 0 (no tracking cost), padded dofs: lb = ub = 0
-    # (locks nu, making the identity joints pure frame extensions); the EE
-    # constraint moves to the tip, where v_tip == v_EE exactly
+    # padded links: H_ref = 0 (no tracking cost); padded dofs keep lb=ub=0
+    # but are inert either way — the zero subspace already pins nu = z = w =
+    # 0 exactly.  The EE constraint moves to the tip, where v_tip == v_EE
     H = np.zeros((B, N, 6, 6))
     v = np.zeros((B, N, 6))
     A = np.zeros((B, 1, 6, 6))

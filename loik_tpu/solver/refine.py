@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..params import SolverParams
 from ..problem import IkProblem
-from .solve import _solve_impl, solve
+from .solve import (_flat_nu, _reset_state, _solve_impl, _solve_loop,
+                    kkt_residual, prepare_problem, solve)
 from .state import SolveResult, SolverState
 
 
@@ -178,6 +179,199 @@ def solve_delta_refined(
     )
 
 
+def solve_delta_duals(
+    tree,
+    params: SolverParams,
+    q,
+    problem: IkProblem,
+    stage1_tol: float = 2e-5,
+    stage1_max_iter: int = 32,
+    stage2_max_iter: int = 24,
+    stage2_mu: float = 1e-2,
+    stage2_mu_eq_scale: float = 1e5,
+    warm_state: Optional[SolverState] = None,
+    fused: Optional[bool] = None,
+    batch_tile: Optional[int] = None,
+    _interpret: bool = False,
+) -> SolveResult:
+    """Tight-tolerance solve with NO f64 loop: f32 stage 1 + f32 delta-duals
+    correction stage.  The successor of `solve_two_stage`'s emulated-f64 tail
+    (ROADMAP "delta-form refinement study", executed).
+
+    Substituting x = x_hat + dx, y = y_hat + dy into the QP's KKT system
+    turns the refinement into the SAME solver run on a shifted problem whose
+    linear terms are the stage-1 KKT residuals, with duals starting at ZERO:
+
+      - nu-block linear term  c = d0_nu = (S'f + w)|_hat   (r_offset)
+      - v-block linear term       d0_v  = (H_ref v - Hv + fdpa)|_hat
+        (folded in as Hv := -d0_v)
+      - task rhs   b_delta  = b - A v_hat
+      - box bounds shifted by nu_hat; z warm-started at z_hat - nu_hat
+
+    d0 is computed ONCE in f64 (one dual-residual evaluation — the O(1)
+    cancellations between mu_eq-amplified quantities happen there, outside
+    the loop); every in-loop quantity is then O(stage-1 error) ~ 1e-5, so
+    f32 absolute rounding is ~1e-12 and tol 1e-6 certifies honestly against
+    the ORIGINAL problem's adaptive-tolerance scales (tol_scale floors, same
+    mechanism as `solve_delta_refined`).  Convergence checks in delta space
+    evaluate d0 + P dx + A' dy = the original problem's true residuals.
+
+    Stage 2 runs FUSED on TPU (it is ordinary f32 solver work); infeasibility
+    certificates stay with stage 1 (degenerate in delta space,
+    check_feasibility=False + freeze_infeasible_on_warm_start).
+
+    Constant-subspace trees only (universal joints -> use solve_two_stage)."""
+    if tree.has_q_dependent_S:
+        raise ValueError(
+            "solve_delta_duals supports constant motion subspaces only; "
+            "use solve_two_stage for trees with universal joints"
+        )
+    f32, f64 = jnp.float32, jnp.float64
+    q = jnp.asarray(q)
+    if q.ndim == 1:
+        q = q[None]
+    if batch_tile is None:
+        batch_tile = default_batch_tile(tree.njoints)
+    if fused is None:
+        fused = (
+            jax.default_backend() == "tpu"
+            and not params.logging
+            and q.shape[0] % batch_tile == 0
+        )
+    tol1 = max(stage1_tol, params.tol_abs)
+    p1 = params.replace(
+        tol_abs=tol1, tol_rel=max(stage1_tol, params.tol_rel),
+        max_iter=min(params.max_iter, stage1_max_iter),
+    )
+    p2 = params.replace(
+        warm_start=True,
+        max_iter=stage2_max_iter,
+        mu=stage2_mu,
+        mu_equality_scale_factor=stage2_mu_eq_scale,
+        check_feasibility=False,
+        freeze_infeasible_on_warm_start=True,
+    )
+    return _delta_duals_jit(
+        tree.astype(f32), tree.astype(f64), p1, p2, q,
+        _cast_problem(problem, f32), _cast_problem(problem, f64),
+        _cast_state(warm_state, f32) if warm_state is not None else None,
+        fused=bool(fused), batch_tile=batch_tile, interpret=_interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(2, 3),
+    static_argnames=("fused", "batch_tile", "interpret"),
+)
+def _delta_duals_jit(tree32, tree64, p1, p2, q, prob32, prob64, warm_state,
+                     fused=False, batch_tile=256, interpret=False):
+    f32, f64 = jnp.float32, jnp.float64
+    B = q.shape[0]
+
+    # ---- stage 1: plain f32 solve at the f32-floor tolerance -------------
+    if fused:
+        from ..kernels.fused import _fused_body
+
+        with jax.enable_x64(False):
+            res1 = _fused_body(p1, batch_tile, interpret, tree32,
+                               q.astype(f32), prob32, warm_state)
+    else:
+        res1 = _solve_impl(tree32, p1, q.astype(f32), prob32, warm_state)
+    st1 = res1.state
+
+    # ---- one f64 KKT-residual evaluation at the stage-1 point ------------
+    st64 = _cast_state(st1, f64)
+    pp64 = prepare_problem(tree64, prob64, B, f64)
+    d0_v, d0_nu, fdpa_hat = kkt_residual(tree64, pp64, st64)
+
+    Av_hat = jnp.stack(
+        [_mv64(pp64.A[k], st64.vis[c])
+         for k, c in enumerate(prob64.constraint_links)]
+    )                                                     # (NC,6,B)
+    b_d = pp64.b - Av_hat
+    lb_d = pp64.lb - st64.nu                              # padded slots: 0-0
+    ub_d = pp64.ub - st64.nu
+
+    # original-problem adaptive-tolerance scales (CheckConvergence,
+    # loik-loid-optimized.hxx:540-565) as (B,) floors for the delta stage
+    from . import batched_spatial as bsp
+
+    Href_vhat = bsp.mv(pp64.H_ref, st64.vis)
+    scale_p = jnp.maximum(
+        jnp.maximum(bsp.inf_norm_b(Av_hat), bsp.inf_norm_b(st64.nu)),
+        pp64.b_inf,
+    )
+    scale_d = jnp.maximum(
+        jnp.maximum(bsp.inf_norm_b(Href_vhat), pp64.Hv_inf),
+        jnp.maximum(bsp.inf_norm_b(fdpa_hat), bsp.inf_norm_b(d0_nu)),
+    )
+
+    # ---- the f32 delta problem ------------------------------------------
+    pp32 = prepare_problem(tree32, prob32, B, f32)
+    prob_d = dataclasses.replace(
+        pp32,
+        Hv=(-d0_v).astype(f32),
+        Hv_inf=bsp.inf_norm_b(d0_v).astype(f32),
+        b=b_d.astype(f32),
+        Atb=bsp.mtv(pp64.A, b_d).astype(f32),
+        b_inf=bsp.inf_norm_b(b_d).astype(f32),
+        lb=lb_d.astype(f32),
+        ub=ub_d.astype(f32),
+        r_offset=d0_nu.astype(f32),
+        tol_scale_primal=scale_p.astype(f32),
+        tol_scale_dual=scale_d.astype(f32),
+    )
+
+    # ---- delta state: dx = 0, duals dy = 0, z = z_hat - nu_hat -----------
+    st_d = dataclasses.replace(
+        st1,
+        vis=jnp.zeros_like(st1.vis),
+        fis=jnp.zeros_like(st1.fis),
+        nu=jnp.zeros_like(st1.nu),
+        z=st1.z - st1.nu,
+        w=jnp.zeros_like(st1.w),
+        yis=jnp.zeros_like(st1.yis),
+        Aty=jnp.zeros_like(st1.Aty),
+        fdpa=jnp.zeros_like(st1.fdpa),
+        stfw=jnp.zeros_like(st1.stfw),
+    )
+    st_d = _reset_state(tree32, p2, st_d, f32)
+
+    if fused:
+        from ..kernels.fused import fused_solve_loop
+
+        with jax.enable_x64(False):
+            st2 = fused_solve_loop(tree32, p2, prob_d, st_d, batch_tile,
+                                   interpret)
+    else:
+        with jax.default_matmul_precision("highest"):
+            st2 = _solve_loop(tree32, prob_d, p2, st_d)
+
+    # ---- recombine in the original space --------------------------------
+    nu_hat = _flat_nu(tree32, st1.nu)
+    vis_hat = jnp.moveaxis(st1.vis, -1, 0)
+    return SolveResult(
+        nu=_flat_nu(tree32, st2.nu) + nu_hat,
+        z=_flat_nu(tree32, st2.z) + nu_hat,
+        vis=jnp.moveaxis(st2.vis, -1, 0) + vis_hat,
+        converged=st2.converged,
+        primal_infeasible=st2.primal_infeasible,
+        dual_infeasible=st2.dual_infeasible,
+        iterations=res1.iterations + st2.iterations,
+        tail_iterations=st2.tail_iterations,
+        primal_residual=st2.primal_residual,
+        dual_residual=st2.dual_residual,
+        state=st2,
+    )
+
+
+def _mv64(M, v):
+    from . import batched_spatial as bsp
+
+    return bsp.mv(M, v)
+
+
 def solve_two_stage(
     tree,
     params: SolverParams,
@@ -241,6 +435,7 @@ def solve_two_stage(
             jax.default_backend() == "tpu"
             and not params.logging
             and q.shape[0] % batch_tile == 0
+            and not tree.has_q_dependent_S  # no universal joints in-kernel
         )
     # both stages under ONE jit: XLA dead-code-eliminates the stage-1 result
     # assembly and keeps the intermediate state on-device with no host sync

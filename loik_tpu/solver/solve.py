@@ -110,9 +110,18 @@ def fwd_pass_init(tree, q):
 # --------------------------------------------------------------------------- #
 
 
-def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverState):
+def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverState,
+               debug: bool = False):
     """Compute one ADMM iteration for every problem in the batch; returns the
-    pieces needed for flag/penalty updates.  Pure function of the state."""
+    pieces needed for flag/penalty updates.  Pure function of the state.
+
+    debug=True additionally returns every per-pass intermediate (post-FwdPass1
+    H/p, post-BwdPass accumulated H/p/Dinv/r_tot, FwdPass2 outputs, dual-
+    update deltas, residual components and adaptive tolerances) in
+    ``checks["debug"]`` for the pass-by-pass lockstep test — the rebuild's
+    analog of the reference's component-wise oracle comparison
+    (tests/loik-loid.cpp:305-556).  Only used outside jit; the extra dict is
+    dead code under the default False."""
     N, K = tree.njoints, tree.nv_max
     dtype = st.vis.dtype
     B = st.vis.shape[-1]
@@ -129,7 +138,9 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
             return jnp.moveaxis(Si, 0, -1)              # (B,6,k) -> (6,k,B)
         return jnp.broadcast_to(Si[:, :, None], (6, tree.nvs[i], B))
 
-    if prob.S_all is not None:  # precomputed (N,6,K,B), uniform K (see state)
+    if prob.S_list is not None:  # per-joint exact-size (6, k, B), q-dependent
+        S = list(prob.S_list)
+    elif prob.S_all is not None:  # precomputed (N,6,K,B), uniform K (see state)
         S = [prob.S_all[i] for i in range(N)]
     else:
         S = [_S_tile(i) for i in range(N)]
@@ -150,6 +161,8 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
 
     # ---------------- FwdPass1 (loik-loid-optimized.hxx:290-338) ----------
     r = st.w - mu_ineq * st.z                      # (N,K,B)
+    if prob.r_offset is not None:  # delta-duals nu-block linear term
+        r = r + prob.r_offset
     H = rho * eye6 + prob.H_ref                    # (N,6,6,B)
     p = -rho * st.vis - prob.Hv                    # vis == vis_prev at entry
 
@@ -163,6 +176,11 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
         p_list[c] = p_list[c] + st.Aty[k] - mu_eq * prob.Atb[k]
     lR = [st.liMi_R[i] for i in range(N)]
     lp = [st.liMi_p[i] for i in range(N)]
+    dbg = {}
+    if debug:  # post-FwdPass1 snapshot (arrays are immutable; copy the lists)
+        dbg["H_fwd1"] = list(H_list)
+        dbg["p_fwd1"] = list(p_list)
+        dbg["r_fwd1"] = r
 
     # ---------------- BwdPass: backward Riccati sweep ---------------------
     # (loik-loid.hxx:82-113 semantics via the calc_aba form,
@@ -191,6 +209,12 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
             pa = pi - bsp.mv(UDinv, ri)                        # p - U D^-1 r
             H_list[par] = H_list[par] + bsp.act_sym6(lR[i], lp[i], Ha)
             p_list[par] = p_list[par] + bsp.act_force(lR[i], lp[i], pa)
+
+    if debug:  # post-BwdPass: accumulated Riccati quantities
+        dbg["H_bwd"] = list(H_list)
+        dbg["p_bwd"] = list(p_list)
+        dbg["Dinv"] = list(Dinv)
+        dbg["r_tot"] = list(r_tot)
 
     # ---------------- FwdPass2 (loik-loid-optimized.hxx:91-165) -----------
     vis_new_list = [None] * N
@@ -263,6 +287,8 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     for i in range(N):
         k = nvs[i]
         stf = bsp.mtv(S[i], fis_new[i]) + w_new[i, :k]
+        if prob.r_offset is not None:
+            stf = stf + prob.r_offset[i, :k]
         stfw_new_list.append(jnp.pad(stf, ((0, K - k), (0, 0))))
     stfw_new = jnp.stack(stfw_new_list)
 
@@ -313,7 +339,63 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
         tol_primal=tol_primal, tol_dual=tol_dual,
         primal_infeasible_now=primal_infeasible_now,
     )
+    if debug:
+        dbg.update(
+            delta_yis=delta_yis, delta_w=delta_w, Av_minus_b=Av_minus_b,
+            primal_residual_task=primal_residual_task,
+            primal_residual_slack=primal_residual_slack,
+            dual_residual_v=dual_residual_v,
+            dual_residual_nu=dual_residual_nu,
+            dr_v=dr_v,
+            pinf_cond1=pinf_cond1, pinf_cond2=pinf_cond2,
+            delta_y_inf=delta_y_inf, At_dy_inf=At_dy_inf,
+        )
+        checks["debug"] = dbg
     return new, checks
+
+
+def kkt_residual(tree, prob: PreparedProblem, st: SolverState):
+    """Dual-side KKT residual d0 = P x + q + A' y at the state's point,
+    per-block: ``(d0_v (N,6,B), d0_nu (N,K,B))`` — the authoritative dense
+    dual-residual semantics (loik-loid.hxx:280) evaluated via the recursive
+    fdpa/stfw identities (loik-loid-optimized.hxx:173-243).  Run in f64 on a
+    cast state, this is the one-shot linear term of the delta-duals
+    refinement (the O(1)-magnitude cancellations happen HERE, outside the
+    f32 loop)."""
+    N, K = tree.njoints, tree.nv_max
+    dtype = st.vis.dtype
+    B = st.vis.shape[-1]
+
+    def _S(i):
+        if prob.S_list is not None:
+            return prob.S_list[i]
+        if prob.S_all is not None:
+            return prob.S_all[i][:, : tree.nvs[i]]
+        Si = tree.joint_S(i).astype(dtype)
+        if Si.ndim == 3:
+            return jnp.moveaxis(Si, 0, -1)
+        return jnp.broadcast_to(Si[:, :, None], (6, tree.nvs[i], B))
+
+    fdpa_list = [jnp.zeros((6, B), dtype) for _ in range(N)]
+    for k, c in enumerate(prob.constraint_links):
+        fdpa_list[c] = st.Aty[k]
+    for i in reversed(range(N)):
+        fdpa_list[i] = fdpa_list[i] - st.fis[i]
+        par = tree.parents[i]
+        if par >= 0:
+            fdpa_list[par] = fdpa_list[par] + bsp.act_force(
+                st.liMi_R[i], st.liMi_p[i], st.fis[i]
+            )
+    fdpa = jnp.stack(fdpa_list)
+    d0_v = bsp.mv(prob.H_ref, st.vis) - prob.Hv + fdpa
+
+    stfw_list = []
+    for i in range(N):
+        k = tree.nvs[i]
+        stf = bsp.mtv(_S(i), st.fis[i]) + st.w[i, :k]
+        stfw_list.append(jnp.pad(stf, ((0, K - k), (0, 0))))
+    d0_nu = jnp.stack(stfw_list)
+    return d0_v, d0_nu, fdpa
 
 
 # --------------------------------------------------------------------------- #
@@ -536,6 +618,24 @@ def _solve_impl_inner(tree, params: SolverParams, q, problem: IkProblem,
         dtype = liMi_R.dtype
         B = liMi_R.shape[-1]
     prob = prepare_problem(tree, problem, B, dtype)
+    if tree.has_q_dependent_S:
+        if q is None:
+            raise ValueError(
+                "trees with configuration-dependent motion subspaces "
+                "(universal joints) need q: the SolveInit/Solve FK-frozen "
+                "split cannot reconstruct S from liMi — use solve()"
+            )
+        # compute the per-problem subspaces once (iteration-constant data,
+        # like liMi): exact-size (6, nv_i, B) per joint
+        S_list = []
+        for i in range(tree.njoints):
+            Si = tree.joint_S(i, q).astype(dtype)
+            if Si.ndim == 2:  # constant joint: share across the batch
+                Si = jnp.broadcast_to(Si[:, :, None], Si.shape + (B,))
+            else:             # (B, 6, k) -> (6, k, B)
+                Si = jnp.moveaxis(Si, 0, -1)
+            S_list.append(Si)
+        prob = dataclasses.replace(prob, S_list=tuple(S_list))
     if tol_scales is not None:
         prob = dataclasses.replace(
             prob,

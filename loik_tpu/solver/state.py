@@ -68,6 +68,18 @@ class PreparedProblem:
     # be derived in-kernel from the axis leaf.  S is iteration-constant, so
     # it is data, not computation.
     S_all: object = None
+    # optional per-joint tuple of exact-size (6, nv_i, B) subspaces for trees
+    # whose S depends on the configuration (universal joints): computed once
+    # per solve from q, iteration-constant thereafter.  XLA path only.
+    S_list: object = None
+    # optional (N, K, B) additive linear term on the nu-block (c'nu in the
+    # QP objective; zero in the original formulation).  The delta-duals
+    # refinement sets it to the nu-block of the stage-1 KKT residual
+    # d0 = P x_hat + q + A' y_hat so the correction QP's duals start at zero
+    # and every in-loop quantity is O(stage-1 error) — the pure-f32
+    # certification scheme (ROADMAP delta-form refinement study).  It enters
+    # FwdPass1's r AND the dual-residual nu-block (S^T f + w + c).
+    r_offset: object = None
 
 
 @_register

@@ -49,6 +49,36 @@ def rotation_about_axis(axis, angle):
     return c * eye + s * K + (1.0 - c) * aaT
 
 
+def rotation_about_axis_cs(axis, c, s):
+    """Rodrigues rotation about a (unit) axis with the angle given as a
+    (cos, sin) pair — the Pinocchio nq=2 unbounded-revolute convention
+    (JointModelRevoluteUnbounded): no trig evaluation, works for any winding.
+    axis (..., 3), c/s (...)."""
+    c = c[..., None, None]
+    s = s[..., None, None]
+    K = skew(axis)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis.dtype), K.shape)
+    aaT = axis[..., :, None] * axis[..., None, :]
+    return c * eye + s * K + (1.0 - c) * aaT
+
+
+def se2_exp(dx, dy, dth):
+    """SE(2) exponential: planar tangent (dx, dy, dθ) -> (cos, sin, tx, ty).
+
+    t = V(dθ) @ (dx, dy) with V the planar left-Jacobian
+    [[sinθ/θ, -(1-cosθ)/θ], [(1-cosθ)/θ, sinθ/θ]]; Taylor-guarded at θ = 0
+    with the dtype-aware cutoff (`_small_angle_cutoff` on θ²)."""
+    th2 = dth * dth
+    small = th2 < jnp.asarray(_small_angle_cutoff(dth.dtype), dth.dtype)
+    safe = jnp.where(small, jnp.ones_like(dth), dth)
+    c, s = jnp.cos(dth), jnp.sin(dth)
+    a = jnp.where(small, 1.0 - th2 / 6.0, s / safe)           # sinθ/θ
+    b = jnp.where(small, 0.5 * dth - th2 * dth / 24.0, (1.0 - c) / safe)
+    tx = a * dx - b * dy
+    ty = b * dx + a * dy
+    return c, s, tx, ty
+
+
 def quat_to_rotmat(q):
     """Quaternion (x, y, z, w) — Pinocchio/Eigen coeff order — to rotation matrix.
 

@@ -59,7 +59,7 @@ def no_recompile_guard(allowed: int = 0):
     recompile indicates a shape/topology/static-arg leak — the analog of the
     reference's runtime-malloc checker firing.
     """
-    from jax._src import monitoring
+    from jax import monitoring
 
     events = CompileEvents()
 

@@ -44,7 +44,7 @@ def test_native_error_reporting():
     with pytest.raises(ValueError, match="native URDF parse failed"):
         load_urdf_native(
             '<robot name="x"><link name="a"/><link name="b"/>'
-            '<joint name="j" type="planar"><parent link="a"/>'
+            '<joint name="j" type="helical"><parent link="a"/>'
             '<child link="b"/></joint></robot>'
         )
     with pytest.raises(ValueError, match="root"):

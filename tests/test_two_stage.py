@@ -98,3 +98,64 @@ def test_delta_refined_certifies_true_residuals():
     vis = np.asarray(rdf.vis, np.float64)
     err = np.abs(vis[:, 6, :] - np.array([0, 0, 0.2, 0, 0, 0.0])).max(axis=1)
     assert err[cdf].max() < 1e-5
+
+
+def test_delta_duals_matches_f64_convergence_set():
+    """The pure-f32 delta-duals path (refine.solve_delta_duals) must recover
+    the f64 two-stage convergence set at tol 1e-6 — the ROADMAP delta-study
+    design, now executed: duals start at zero and the one f64 KKT evaluation
+    carries all O(1) cancellations."""
+    from loik_tpu.solver.refine import solve_delta_duals
+
+    tree, prob, qs = _workload(B=128, seed=0)
+    res64 = solve(tree, PARAMS, qs, prob)
+    rdd = solve_delta_duals(tree, PARAMS, qs, prob)
+    c64 = np.asarray(res64.converged)
+    cdd = np.asarray(rdd.converged)
+    assert (c64 == cdd).mean() >= 0.95
+    assert cdd.sum() >= 0.95 * c64.sum()
+    # solutions agree with the f64 solver where both converge
+    both = c64 & cdd
+    d = np.abs(np.asarray(rdd.nu)[both] - np.asarray(res64.nu)[both])
+    assert d.max() < 5e-4, d.max()
+
+
+def test_delta_duals_certifies_true_residuals():
+    """Claimed-converged delta-duals solutions must have TRUE f64 task error
+    within the adaptive tolerance — certification honesty, not just flag
+    agreement."""
+    from loik_tpu.model.kinematics import frame_velocity
+    from loik_tpu.solver.refine import solve_delta_duals
+
+    tree, prob, qs = _workload(B=64, seed=5)
+    rdd = solve_delta_duals(tree, PARAMS, qs, prob)
+    conv = np.asarray(rdd.converged)
+    assert conv.mean() > 0.5
+    nu = np.asarray(rdd.nu, np.float64)[conv]
+    qb = np.asarray(qs)[conv]
+    import jax.numpy as jnp
+
+    v = np.asarray(
+        jax.vmap(lambda q, n: frame_velocity(tree, q, n, 6))(
+            jnp.asarray(qb), jnp.asarray(nu)
+        )
+    )
+    err = np.abs(v - np.asarray([0, 0, 0.2, 0, 0, 0])).max(axis=1)
+    assert err.max() < 1e-5, err.max()
+
+
+def test_delta_duals_infeasible_frozen():
+    """Stage-1 primal-infeasibility verdicts survive the delta stage."""
+    from loik_tpu.solver.refine import solve_delta_duals
+
+    tree, prob, qs = _workload(B=8, seed=2)
+    import jax.numpy as jnp
+
+    b = np.zeros((8, 1, 6))
+    b[:, 0, 2] = 0.2
+    b[0, 0, 2] = 50.0  # unreachable
+    prob = prob.replace(b=jnp.asarray(b))
+    rdd = solve_delta_duals(tree, PARAMS, qs, prob)
+    assert bool(rdd.primal_infeasible[0])
+    assert not bool(rdd.converged[0])
+    assert np.asarray(rdd.converged)[1:].mean() > 0.5
