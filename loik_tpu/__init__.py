@@ -23,7 +23,8 @@ from .model import KinematicTree, load_urdf, make_tree, robots
 from .params import MuUpdateStrat, SolverParams
 from .problem import IkProblem, make_problem
 from .solver import solve
-from .solver.refine import solve_delta_refined, solve_two_stage
+from .solver.refine import (solve_delta_duals, solve_delta_refined,
+                            solve_two_stage)
 from .solver.state import SolveResult, SolverState
 
 __version__ = "0.1.0"

@@ -95,19 +95,28 @@ class DiffIkSolver:
         return res
 
     def solve_refined(self, q, problem: Optional[IkProblem] = None,
-                      **two_stage_kw) -> SolveResult:
-        """Tight-tolerance solve via the two-stage mixed-precision path
-        (f32 bulk + warm f64 refinement; on TPU the f32 stage runs as the
-        fused Pallas kernel).  Use for tol below the ~1e-5 f32 floor;
-        keyword args forward to `solver.refine.solve_two_stage`."""
-        from .solver.refine import solve_two_stage
+                      method: str = "delta", **refine_kw) -> SolveResult:
+        """Tight-tolerance solve below the ~1e-5 f32 floor.
+
+        method="delta" (default): pure-f32 delta-duals correction with one
+        f64 KKT evaluation (`solver.refine.solve_delta_duals`) — no
+        emulated-f64 loop on TPU.  method="two-stage": f32 bulk + warm f64
+        refinement (`solve_two_stage`); also the fallback for trees with
+        configuration-dependent subspaces (universal joints).  On TPU the
+        f32 stages run as the fused Pallas kernel.  Keyword args forward to
+        the chosen backend."""
+        from .solver.refine import solve_delta_duals, solve_two_stage
 
         if problem is not None:
             self.problem = problem
-        res = solve_two_stage(
+        if method == "delta" and self.tree.has_q_dependent_S:
+            method = "two-stage"
+        backend = {"delta": solve_delta_duals,
+                   "two-stage": solve_two_stage}[method]
+        res = backend(
             self.tree, self.params, q, self.problem,
             warm_state=self._state if self.params.warm_start else None,
-            **two_stage_kw,
+            **refine_kw,
         )
         self._state = res.state
         self._q = q

@@ -220,12 +220,13 @@ class KinematicTree:
             return jnp.concatenate([zeros, ang], axis=-2)
         raise ValueError(f"unknown joint type {t}")
 
-    def joint_S_padded(self) -> jnp.ndarray:
-        """All subspaces zero-padded to (N, 6, nv_max)."""
+    def joint_S_padded(self, q: jnp.ndarray = None) -> jnp.ndarray:
+        """All subspaces zero-padded to (N, 6, nv_max); pass ``q`` (unbatched)
+        when the tree contains universal joints."""
         nvm = self.nv_max
         mats = []
         for i in range(self.njoints):
-            S = self.joint_S(i)
+            S = self.joint_S(i, q)
             mats.append(jnp.pad(S, ((0, 0), (0, nvm - S.shape[1]))))
         return jnp.stack(mats)
 

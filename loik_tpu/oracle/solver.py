@@ -40,13 +40,25 @@ def _inf_norm(x):
 
 @dataclasses.dataclass
 class OracleInfo:
-    """Per-iteration logs (LoikSolverInfo, loik-loid.hpp:40-121)."""
+    """Per-iteration logs (LoikSolverInfo, loik-loid.hpp:40-121), incl. the
+    per-block residual components and penalty split; tail-solve iterations
+    are flagged via in_tail (the reference's separate tail_solve_*_list_
+    vectors are these logs filtered by that flag)."""
 
     iters: List[int] = dataclasses.field(default_factory=list)
     primal_residuals: List[float] = dataclasses.field(default_factory=list)
     dual_residuals: List[float] = dataclasses.field(default_factory=list)
     mus: List[float] = dataclasses.field(default_factory=list)
     tail_solve_iters: List[int] = dataclasses.field(default_factory=list)
+    primal_residuals_task: List[float] = dataclasses.field(default_factory=list)
+    primal_residuals_slack: List[float] = dataclasses.field(default_factory=list)
+    dual_residuals_v: List[float] = dataclasses.field(default_factory=list)
+    dual_residuals_nu: List[float] = dataclasses.field(default_factory=list)
+    mu_eqs: List[float] = dataclasses.field(default_factory=list)
+    mu_ineqs: List[float] = dataclasses.field(default_factory=list)
+    in_tail: List[bool] = dataclasses.field(default_factory=list)
+    delta_x_infs: List[float] = dataclasses.field(default_factory=list)
+    delta_z_infs: List[float] = dataclasses.field(default_factory=list)
 
 
 class OracleSolver:
@@ -396,6 +408,15 @@ class OracleSolver:
         self.info.primal_residuals.append(self.primal_residual)
         self.info.dual_residuals.append(self.dual_residual)
         self.info.mus.append(self.mu)
+        self.info.primal_residuals_task.append(self.primal_residual_task)
+        self.info.primal_residuals_slack.append(self.primal_residual_slack)
+        self.info.dual_residuals_v.append(self.dual_residual_v)
+        self.info.dual_residuals_nu.append(self.dual_residual_nu)
+        self.info.mu_eqs.append(self.mu_eq)
+        self.info.mu_ineqs.append(self.mu_ineq)
+        self.info.in_tail.append(self.tail_solve_iter > 0)
+        self.info.delta_x_infs.append(_inf_norm(self.delta_x_qp))
+        self.info.delta_z_infs.append(_inf_norm(self.delta_z_qp))
 
     def infeasibility_tail_solve(self):
         """InfeasibilityTailSolve (loik-loid.hpp:257-347)."""

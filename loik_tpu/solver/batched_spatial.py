@@ -13,8 +13,17 @@ Shapes: R (..., 3, 3, B), p (..., 3, B), motions/forces (..., 6, B),
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# experiment toggle (read once at import): use the symmetric block form of
+# act_sym6 for f32 too.  Measured on v5e flagship (see ROADMAP): the dense
+# two-product form is the default because the fused kernel is VPU-issue
+# bound and the block form's many small-tile ops issue WORSE than two
+# full-height 6x6 products unless measurement says otherwise.
+_SYM6_F32_BLOCK = os.environ.get("LOIK_SYM6_F32_BLOCK", "0") == "1"
 
 LIN = slice(0, 3)
 ANG = slice(3, 6)
@@ -169,7 +178,7 @@ def act_sym6(R, p, H):
       the bottom-left block is the mirrored top-right (SE3actOn's own
       symmetric-triangle trick, loik-loid-optimized.hxx:66).
     """
-    if H.dtype != jnp.float64:
+    if H.dtype != jnp.float64 and not _SYM6_F32_BLOCK:
         Xd = dual_action_matrix(R, p)
         return mmt(mm(Xd, H), Xd)
     A = H[..., LIN, LIN, :]

@@ -338,6 +338,14 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     checks = dict(
         tol_primal=tol_primal, tol_dual=tol_dual,
         primal_infeasible_now=primal_infeasible_now,
+        # per-block residual components (LoikSolverInfo parity,
+        # loik-loid.hpp:98-104); consumed by the logging block, DCE'd
+        # otherwise.  primal_residual_kinematics is identically zero here by
+        # construction (v is built from the recursion), hence not logged.
+        primal_residual_task=primal_residual_task,
+        primal_residual_slack=primal_residual_slack,
+        dual_residual_v=dual_residual_v,
+        dual_residual_nu=dual_residual_nu,
     )
     if debug:
         dbg.update(
@@ -506,13 +514,32 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
             it=i,
         )
         if params.logging:
-            updates["log_rp"] = st.log_rp.at[i - 1].set(
-                jnp.where(active, new["primal_residual"], jnp.nan)
+            nan = jnp.nan
+
+            def logset(arr, val):
+                return arr.at[i - 1].set(jnp.where(active, val, nan))
+
+            updates["log_rp"] = logset(st.log_rp, new["primal_residual"])
+            updates["log_rd"] = logset(st.log_rd, new["dual_residual"])
+            updates["log_mu"] = logset(st.log_mu, st.mu)
+            # per-block components + penalty split + tail diagnostics
+            # (LoikSolverInfo parity, loik-loid.hpp:98-121; the reference's
+            # tail_solve_*_list_ vectors are these same logs masked by
+            # log_in_tail)
+            updates["log_rp_task"] = logset(st.log_rp_task,
+                                            checks["primal_residual_task"])
+            updates["log_rp_slack"] = logset(st.log_rp_slack,
+                                             checks["primal_residual_slack"])
+            updates["log_rd_v"] = logset(st.log_rd_v, checks["dual_residual_v"])
+            updates["log_rd_nu"] = logset(st.log_rd_nu,
+                                          checks["dual_residual_nu"])
+            updates["log_mu_eq"] = logset(st.log_mu_eq, st.mu_eq)
+            updates["log_mu_ineq"] = logset(st.log_mu_ineq, st.mu_ineq)
+            updates["log_in_tail"] = logset(
+                st.log_in_tail, st.in_tail.astype(st.mu.dtype)
             )
-            updates["log_rd"] = st.log_rd.at[i - 1].set(
-                jnp.where(active, new["dual_residual"], jnp.nan)
-            )
-            updates["log_mu"] = st.log_mu.at[i - 1].set(jnp.where(active, st.mu, jnp.nan))
+            updates["log_dx"] = logset(st.log_dx, new["delta_x_inf"])
+            updates["log_dz"] = logset(st.log_dz, new["delta_z_inf"])
         return dataclasses.replace(st, **updates)
 
     return body
@@ -575,11 +602,12 @@ def _reset_state(tree, params: SolverParams, st: SolverState, dtype) -> SolverSt
             stfw=jnp.zeros_like(st.stfw),
         )
     if params.logging:
-        upd.update(
-            log_rp=jnp.full((params.max_iter, B), jnp.nan, dtype),
-            log_rd=jnp.full((params.max_iter, B), jnp.nan, dtype),
-            log_mu=jnp.full((params.max_iter, B), jnp.nan, dtype),
-        )
+        from .state import LOG_FIELDS
+
+        upd.update({
+            name: jnp.full((params.max_iter, B), jnp.nan, dtype)
+            for name in LOG_FIELDS
+        })
     return dataclasses.replace(st, **upd)
 
 
@@ -664,9 +692,10 @@ def _solve_impl_inner(tree, params: SolverParams, q, problem: IkProblem,
         primal_residual=st.primal_residual,
         dual_residual=st.dual_residual,
         state=st,
-        log_rp=st.log_rp,
-        log_rd=st.log_rd,
-        log_mu=st.log_mu,
+        **{name: getattr(st, name) for name in
+           ("log_rp", "log_rd", "log_mu", "log_rp_task", "log_rp_slack",
+            "log_rd_v", "log_rd_nu", "log_mu_eq", "log_mu_ineq",
+            "log_in_tail", "log_dx", "log_dz")},
     )
 
 

@@ -125,10 +125,32 @@ class SolverState:
 
     it: jnp.ndarray              # () i32 global iteration counter
 
-    # optional per-iteration logs (allocated only when params.logging)
-    log_rp: Optional[jnp.ndarray] = None   # (max_iter, B)
-    log_rd: Optional[jnp.ndarray] = None   # (max_iter, B)
-    log_mu: Optional[jnp.ndarray] = None   # (max_iter, B)
+    # optional per-iteration logs (allocated only when params.logging) — the
+    # batched analog of LoikSolverInfo's per-iteration lists
+    # (loik-loid.hpp:40-121); NaN marks iterations a problem did not run.
+    # Tail-solve lists are recovered by masking with log_in_tail (the
+    # batched equivalent of the reference's separate tail_solve_*_list_
+    # vectors).  primal_residual_kinematics is identically zero here by
+    # construction and is not materialized.
+    log_rp: Optional[jnp.ndarray] = None        # (max_iter, B)
+    log_rd: Optional[jnp.ndarray] = None        # (max_iter, B)
+    log_mu: Optional[jnp.ndarray] = None        # (max_iter, B)
+    log_rp_task: Optional[jnp.ndarray] = None   # (max_iter, B)
+    log_rp_slack: Optional[jnp.ndarray] = None  # (max_iter, B)
+    log_rd_v: Optional[jnp.ndarray] = None      # (max_iter, B)
+    log_rd_nu: Optional[jnp.ndarray] = None     # (max_iter, B)
+    log_mu_eq: Optional[jnp.ndarray] = None     # (max_iter, B)
+    log_mu_ineq: Optional[jnp.ndarray] = None   # (max_iter, B)
+    log_in_tail: Optional[jnp.ndarray] = None   # (max_iter, B) 1.0 = tail iter
+    log_dx: Optional[jnp.ndarray] = None        # (max_iter, B) |delta x|_inf
+    log_dz: Optional[jnp.ndarray] = None        # (max_iter, B) |delta z|_inf
+
+
+LOG_FIELDS = (
+    "log_rp", "log_rd", "log_mu", "log_rp_task", "log_rp_slack",
+    "log_rd_v", "log_rd_nu", "log_mu_eq", "log_mu_ineq", "log_in_tail",
+    "log_dx", "log_dz",
+)
 
 
 def init_state(tree, B: int, num_constraints: int, dtype, max_iter: int = 0,
@@ -155,9 +177,10 @@ def init_state(tree, B: int, num_constraints: int, dtype, max_iter: int = 0,
         dual_residual=jnp.full((B,), jnp.inf, dtype),
         delta_x_inf=zB, delta_z_inf=zB,
         it=jnp.zeros((), jnp.int32),
-        log_rp=jnp.full((max_iter, B), jnp.nan, dtype) if logging else None,
-        log_rd=jnp.full((max_iter, B), jnp.nan, dtype) if logging else None,
-        log_mu=jnp.full((max_iter, B), jnp.nan, dtype) if logging else None,
+        **(
+            {name: jnp.full((max_iter, B), jnp.nan, dtype) for name in LOG_FIELDS}
+            if logging else {}
+        ),
     )
 
 
@@ -180,3 +203,12 @@ class SolveResult:
     log_rp: Optional[jnp.ndarray] = None  # (max_iter, B) when logging
     log_rd: Optional[jnp.ndarray] = None
     log_mu: Optional[jnp.ndarray] = None
+    log_rp_task: Optional[jnp.ndarray] = None
+    log_rp_slack: Optional[jnp.ndarray] = None
+    log_rd_v: Optional[jnp.ndarray] = None
+    log_rd_nu: Optional[jnp.ndarray] = None
+    log_mu_eq: Optional[jnp.ndarray] = None
+    log_mu_ineq: Optional[jnp.ndarray] = None
+    log_in_tail: Optional[jnp.ndarray] = None
+    log_dx: Optional[jnp.ndarray] = None
+    log_dz: Optional[jnp.ndarray] = None

@@ -108,8 +108,13 @@ def test_solve_refined_certifies_tight_tol():
     solver.update_eq_constraint(6, b=np.array([0, 0, 0.2, 0, 0, 0.0]))
     qs = tree.random_configuration(jax.random.PRNGKey(9), (32,)).astype(
         jnp.float32)
-    res = solver.solve_refined(qs)
+    res = solver.solve_refined(qs)            # default: delta-duals (f32)
     conv = np.asarray(res.converged)
     assert conv.mean() > 0.6
-    assert res.nu.dtype == jnp.float64  # refinement reports in f64
+    assert res.nu.dtype == jnp.float32        # pure-f32 loops
     assert np.asarray(res.primal_residual)[conv].max() < 1e-5
+    res2 = solver.solve_refined(qs, method="two-stage")
+    assert res2.nu.dtype == jnp.float64       # f64 tail reports in f64
+    conv2 = np.asarray(res2.converged)
+    assert conv2.mean() > 0.6
+    assert np.asarray(res2.primal_residual)[conv2].max() < 1e-5

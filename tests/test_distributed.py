@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy f64 compiles/solves; quick tier skips
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(ROOT, "tests", "distributed_worker.py")
 
@@ -30,7 +32,12 @@ def _free_port() -> int:
     return port
 
 
-def test_two_simulated_hosts_match_single_process(tmp_path):
+@pytest.mark.parametrize(
+    "nproc,per_host",
+    [(2, 4), (4, 2)],
+    ids=["2hosts_x4dev", "4hosts_x2dev"],
+)
+def test_simulated_hosts_match_single_process(tmp_path, nproc, per_host):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +68,6 @@ def test_two_simulated_hosts_match_single_process(tmp_path):
 
     np.savez(tmp_path / "fixture.npz", q=q)
 
-    nproc, per_host = 2, 4
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={per_host}"

@@ -35,7 +35,11 @@ def assert_matches_oracle(tree, params, q, problem, atol=1e-10):
     return res, orc
 
 
-@pytest.mark.parametrize("robot", ["ur5", "panda", "solo12", "talos"])
+@pytest.mark.parametrize("robot", [
+    "ur5", "panda",
+    pytest.param("solo12", marks=pytest.mark.slow),
+    pytest.param("talos", marks=pytest.mark.slow),
+])
 def test_fast_matches_oracle_fixture(robot):
     tree = robots.get(robot)
     problem = fixture_problem(tree, b3=0.3)
@@ -243,3 +247,57 @@ def test_spd_inv_matches_linalg_inv():
         got = np.asarray(bsp.spd_inv(jnp.asarray(D)))
         want = np.linalg.inv(np.moveaxis(D, -1, 1))
         np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-9)
+
+
+def test_logging_per_block_residuals_match_oracle():
+    """params.logging returns per-iteration per-block residual components,
+    penalty split and tail diagnostics (the batched LoikSolverInfo,
+    loik-loid.hpp:40-121) matching the oracle's logs at 1e-10."""
+    tree = robots.panda()
+    problem = fixture_problem(tree, b3=0.2)
+    q = fixture_q(tree)
+    params = TIGHT.replace(logging=True, max_iter=60)
+    res = solve(tree, params, q, problem)
+    orc = OracleSolver(tree, params).solve(np.asarray(q), problem)
+    T = orc.iterations
+    info = orc.info
+    pairs = [
+        (res.log_rp, info.primal_residuals),
+        (res.log_rd, info.dual_residuals),
+        (res.log_mu, info.mus),
+        (res.log_rp_task, info.primal_residuals_task),
+        (res.log_rp_slack, info.primal_residuals_slack),
+        (res.log_rd_v, info.dual_residuals_v),
+        (res.log_rd_nu, info.dual_residuals_nu),
+        (res.log_mu_eq, info.mu_eqs),
+        (res.log_mu_ineq, info.mu_ineqs),
+        (res.log_dx, info.delta_x_infs),
+        (res.log_dz, info.delta_z_infs),
+    ]
+    for fast, want in pairs:
+        got = np.asarray(fast)[:T, 0]
+        assert np.all(np.isfinite(got)), got
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-10)
+    # beyond the stopping iteration the logs stay NaN (problem frozen)
+    assert np.all(np.isnan(np.asarray(res.log_rp)[T:, 0]))
+
+
+def test_logging_tail_solve_flags():
+    """Tail-solve iterations are flagged in log_in_tail, and masking the
+    per-iteration logs by it recovers the reference's tail_solve_*_list_
+    content (unreachable-target fixture: certified primal-infeasible)."""
+    tree = robots.panda()
+    problem = fixture_problem(tree, b3=50.0)  # unreachable: certified infeasible
+    params = TIGHT.replace(logging=True, max_iter=80, tail_solve=True)
+    res = solve(tree, params, jnp.asarray(PANDA_Q), problem)
+    assert bool(res.primal_infeasible[0])
+    n_tail = int(res.tail_iterations[0])
+    assert n_tail > 0
+    in_tail = np.asarray(res.log_in_tail)[:, 0]
+    assert np.nansum(in_tail) == n_tail
+    orc = OracleSolver(tree, params).solve(np.asarray(PANDA_Q), problem)
+    assert orc.primal_infeasible
+    assert orc.tail_solve_iterations == n_tail
+    # the flagged block sits at the END of the ran-iterations window
+    T = int(res.iterations[0])
+    np.testing.assert_array_equal(in_tail[T - n_tail:T], 1.0)

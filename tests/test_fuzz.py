@@ -14,6 +14,8 @@ from loik_tpu.params import SolverParams
 from loik_tpu.problem import make_problem
 from loik_tpu.solver import solve
 
+pytestmark = pytest.mark.slow  # heavy f64 compiles/solves; quick tier skips
+
 PARAMS = SolverParams(max_iter=150, tol_abs=1e-6, tol_rel=1e-6)
 
 

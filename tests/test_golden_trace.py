@@ -27,6 +27,8 @@ from loik_tpu.params import SolverParams
 from loik_tpu.problem import make_problem
 from loik_tpu.solver import solve
 
+pytestmark = pytest.mark.slow  # heavy f64 compiles/solves; quick tier skips
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "traces.json")
 
 with open(GOLDEN) as f:

@@ -176,7 +176,9 @@ def run_lockstep(tree, params, q, problem, iters=10):
     return iters
 
 
-@pytest.mark.parametrize("robot", ["panda", "solo12"])
+@pytest.mark.parametrize("robot", [
+    "panda", pytest.param("solo12", marks=pytest.mark.slow),
+])
 def test_lockstep_component_wise(robot):
     """Every intermediate of every pass matches the oracle at 1e-10 on a
     revolute arm AND a floating-base quadruped (free-flyer + spherical-free

@@ -3,6 +3,7 @@ convergence set at tol 1e-6 while doing only a handful of f64 iterations —
 the TPU strategy for the 1e-6 BASELINE metric (f32 alone stalls ~30% of
 feasible problems above tolerance; see refine.py docstring)."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -11,6 +12,8 @@ from loik_tpu.params import SolverParams
 from loik_tpu.problem import make_problem
 from loik_tpu.solver import solve
 from loik_tpu.solver.refine import solve_two_stage
+
+pytestmark = pytest.mark.slow  # heavy f64 compiles/solves; quick tier skips
 
 PARAMS = SolverParams(max_iter=300, tol_abs=1e-6, tol_rel=1e-6)
 
