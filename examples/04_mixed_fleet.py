@@ -13,7 +13,7 @@ import numpy as np
 
 from loik_tpu.model import robots
 from loik_tpu.params import SolverParams
-from loik_tpu.parallel import solve_mixed_padded
+from loik_tpu.parallel import prepare_mixed_padded
 from loik_tpu.problem import make_problem
 
 
@@ -31,7 +31,11 @@ def main():
     params = SolverParams(max_iter=150, tol_abs=1e-4, tol_rel=1e-4,
                           mu=0.1, mu_equality_scale_factor=1e5)
     groups = [group("ur5", 0, 256, 0.15), group("panda_arm", 1, 256, 0.10)]
-    results = solve_mixed_padded(groups, params)
+    # assemble the super-batch once; a control loop would then pay only the
+    # per-tick q packing + solve (solve_mixed_padded wraps both for one-offs)
+    fleet = prepare_mixed_padded([(t, 256, p) for t, _, p in groups])
+    for tick in range(2):
+        results = fleet.solve(params, [q for _, q, _ in groups])
     for (tree, _, _), res in zip(groups, results):
         conv = np.asarray(res.converged)
         it = np.asarray(res.iterations)

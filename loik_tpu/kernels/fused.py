@@ -34,7 +34,7 @@ from ..problem import IkProblem
 from ..solver import solve as _solve_pkg_function  # noqa: F401 (api parity)
 from ..solver import solve
 from ..solver.solve import (_flat_nu, _reset_state, fwd_pass_init,
-                            loop_cond, make_loop_body, prepare_problem)
+                            make_phase_loops, prepare_problem)
 from ..solver.state import PreparedProblem, SolverState, SolveResult
 
 # state fields that the kernel carries (everything except liMi/log arrays)
@@ -106,11 +106,12 @@ def _kernel(tree, params, constraint_links, n_state, prob_fields, *refs):
         **vals,
     )
     prob = PreparedProblem(constraint_links=constraint_links, **pvals)
-    body = make_loop_body(tree, prob, params)
 
     # Mosaic's while-loop lowering rejects the mixed-rank dataclass carry
     # (1-D vectors, bools, 0-d scalars); run the SAME body under a carry of
-    # uniformly 2-D arrays, re-encoding at the loop boundary.
+    # uniformly >=2-D arrays, re-encoding at the loop boundary.  The loop
+    # itself is the nested phase structure of `make_phase_loops` (the
+    # `_h_sweep` matrix recursion runs once per penalty epoch).
     def enc_st(s2):
         out = []
         for name in _STATE_FIELDS:
@@ -136,15 +137,15 @@ def _kernel(tree, params, constraint_links, n_state, prob_fields, *refs):
 
     running_idx = _STATE_FIELDS.index("running")
 
-    def cond_k(carry):
+    def running_any(carry):
         # i32 max instead of bool any: Mosaic lowers reduce_or through a
         # float proxy that becomes f64 under x64 and fails the scalar
         # squeeze; an integer max reduction stays 32-bit everywhere
         return jnp.max(carry[running_idx]) > 0
 
-    def body_k(carry):
-        return enc_st(body(dec_st(carry)))
-
+    cond_k, body_k = make_phase_loops(
+        tree, prob, params, enc_st, dec_st, running_any
+    )
     final = jax.lax.while_loop(cond_k, body_k, enc_st(st))
     st = dec_st(final)
 
@@ -278,6 +279,23 @@ def _run_fused(params, batch_tile, interpret, tree, q, problem, warm_state):
                        warm_state)
 
 
+def with_S_all(tree, prob: PreparedProblem, dtype) -> PreparedProblem:
+    """Attach precomputed per-problem motion subspaces for batched-geometry
+    trees (axis (N, B, 3), the mixed super-batch path): inside the kernel S
+    is DATA, not computation — (N, 6, K, B) built once at prepare time."""
+    K = tree.nv_max
+    if any(k != K for k in tree.nvs):
+        raise ValueError(
+            "fused path with batched geometry needs uniform joint "
+            "dof counts (serial 1-dof chains)"
+        )
+    S_all = jnp.stack(
+        [jnp.moveaxis(tree.joint_S(i).astype(dtype), 0, -1)
+         for i in range(tree.njoints)]
+    )
+    return dataclasses.replace(prob, S_all=S_all)
+
+
 def _fused_body(params, batch_tile, interpret, tree, q, problem, warm_state):
     """Traceable fused-solve body (also inlined by refine._two_stage_jit)."""
     if tree.has_q_dependent_S:
@@ -290,19 +308,7 @@ def _fused_body(params, batch_tile, interpret, tree, q, problem, warm_state):
         B = q.shape[0]
         prob = prepare_problem(tree, problem, B, dtype)
         if tree.axis.ndim == 3:
-            # per-problem geometry (mixed super-batch): S is data, not
-            # in-kernel computation — precompute (N, 6, K, B) once
-            K = tree.nv_max
-            if any(k != K for k in tree.nvs):
-                raise ValueError(
-                    "fused path with batched geometry needs uniform joint "
-                    "dof counts (serial 1-dof chains)"
-                )
-            S_all = jnp.stack(
-                [jnp.moveaxis(tree.joint_S(i).astype(dtype), 0, -1)
-                 for i in range(tree.njoints)]
-            )
-            prob = dataclasses.replace(prob, S_all=S_all)
+            prob = with_S_all(tree, prob, dtype)
         if warm_state is None:
             from ..solver.state import init_state
 

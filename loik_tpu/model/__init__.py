@@ -1,5 +1,7 @@
 from .tree import (
+    COMPOSITE,
     FREE_FLYER,
+    HELICAL,
     PLANAR,
     PRISMATIC,
     REVOLUTE,
@@ -26,4 +28,6 @@ __all__ = [
     "TRANSLATION",
     "PLANAR",
     "UNIVERSAL",
+    "HELICAL",
+    "COMPOSITE",
 ]

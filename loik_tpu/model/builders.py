@@ -78,6 +78,7 @@ def random_tree(rng: np.random.Generator, n_joints: int,
                 rpy=tuple(rng.uniform(-np.pi, np.pi, size=3)),
                 axis=tuple(axis),
                 axis2=tuple(axis2),
+                pitch=float(rng.uniform(0.02, 0.3)),  # used by HELICAL only
                 velocity_limit=5.0,
             )
         )

@@ -50,11 +50,19 @@ REVOLUTE_UNBOUNDED = 4   # nq = (cos, sin): pinocchio JointModelRevoluteUnbounde
 TRANSLATION = 5          # 3-dof translation: pinocchio JointModelTranslation
 PLANAR = 6               # x, y, θ; nq = (x, y, cos, sin): pinocchio JointModelPlanar
 UNIVERSAL = 7            # two sequential rotations: pinocchio JointModelUniversal
+HELICAL = 8              # screw: rotation + pitch-coupled translation along
+                         # one axis (pinocchio JointModelHelical); the pitch
+                         # is STATIC metadata (tuple in aux data, not a
+                         # traced leaf — it parameterizes the motion
+                         # subspace, which the fused kernel derives from
+                         # trace-time constants; changing pitch recompiles)
 
 JOINT_NV = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 6, SPHERICAL: 3,
-            REVOLUTE_UNBOUNDED: 1, TRANSLATION: 3, PLANAR: 3, UNIVERSAL: 2}
+            REVOLUTE_UNBOUNDED: 1, TRANSLATION: 3, PLANAR: 3, UNIVERSAL: 2,
+            HELICAL: 1}
 JOINT_NQ = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 7, SPHERICAL: 4,
-            REVOLUTE_UNBOUNDED: 2, TRANSLATION: 3, PLANAR: 4, UNIVERSAL: 2}
+            REVOLUTE_UNBOUNDED: 2, TRANSLATION: 3, PLANAR: 4, UNIVERSAL: 2,
+            HELICAL: 1}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -77,6 +85,8 @@ class KinematicTree:
     name: str = "robot"
     # second rotation axis (universal joints only; None when no joint uses it)
     axis2: object = None          # (N, 3) array leaf or None
+    # helical pitch per joint (STATIC — see HELICAL above); None = all zero
+    pitches: object = None        # Tuple[float, ...] or None
 
     # ------------------------------------------------------------------ #
     # pytree plumbing
@@ -84,13 +94,14 @@ class KinematicTree:
     def tree_flatten(self):
         leaves = (self.placement_R, self.placement_p, self.axis,
                   self.velocity_limit, self.axis2)
-        aux = (self.parents, self.jtypes, self.idx_v, self.idx_q, self.joint_names, self.name)
+        aux = (self.parents, self.jtypes, self.idx_v, self.idx_q,
+               self.joint_names, self.name, self.pitches)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         pR, pp, ax, vl, ax2 = leaves
-        return cls(pR, pp, ax, vl, *aux, axis2=ax2)
+        return cls(pR, pp, ax, vl, *aux[:-1], axis2=ax2, pitches=aux[-1])
 
     # ------------------------------------------------------------------ #
     # static derived properties
@@ -185,6 +196,14 @@ class KinematicTree:
             if ax.ndim == 1:
                 return jnp.concatenate([ax[:, None], jnp.zeros((3, 1), dt)], axis=0)
             return jnp.concatenate([ax, jnp.zeros_like(ax)], axis=-1)[..., None]
+        if t == HELICAL:
+            # screw twist [pitch*a; a]: pitch is the translation per RADIAN
+            # of rotation (pinocchio JointModelHelical convention, v = h*w)
+            ax = self.axis[i]
+            h = float(self.pitches[i]) if self.pitches is not None else 0.0
+            if ax.ndim == 1:
+                return jnp.concatenate([h * ax[:, None], ax[:, None]], axis=0)
+            return jnp.concatenate([h * ax, ax], axis=-1)[..., None]
         if t == FREE_FLYER:
             return jnp.eye(6, dtype=dt)
         if t == SPHERICAL:
@@ -258,6 +277,14 @@ class KinematicTree:
             d = q[..., iq]
             R = jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), d.shape + (3, 3))
             p = d[..., None] * self.axis[i]
+            return R, p
+        if t == HELICAL:
+            ang = q[..., iq]
+            R = spatial.rotation_about_axis(
+                jnp.broadcast_to(self.axis[i], ang.shape + (3,)), ang
+            )
+            h = float(self.pitches[i]) if self.pitches is not None else 0.0
+            p = (h * ang)[..., None] * self.axis[i]
             return R, p
         if t == FREE_FLYER:
             p = q[..., iq : iq + 3]
@@ -363,7 +390,7 @@ class KinematicTree:
         dq = jnp.asarray(dq)
         for i, t in enumerate(self.jtypes):
             iq, iv = self.idx_q[i], self.idx_v[i]
-            if t in (REVOLUTE, PRISMATIC):
+            if t in (REVOLUTE, PRISMATIC, HELICAL):
                 out = out.at[..., iq].set(out[..., iq] + dq[..., iv])
             elif t in (TRANSLATION, UNIVERSAL):
                 # vector-space joints: plain addition (pinocchio convention;
@@ -452,15 +479,68 @@ class KinematicTree:
         )
 
 
+COMPOSITE = "composite"  # make_tree-level sugar, expanded before building
+
+
+def expand_composites(joints):
+    """Expand `type=COMPOSITE` joint dicts into their sub-joint chains.
+
+    A composite joint (pinocchio `JointModelComposite`) stacks sub-joints at
+    one mount point: kinematically identical to a serial chain of the subs
+    with identity placements between them, which is exactly how it expands
+    here (the composite's own placement composes with the first sub's).
+    Children indices of later joints are remapped to the LAST sub-joint."""
+    out = []
+    last = {}  # original index -> expanded index of its last sub-joint
+    for old_i, j in enumerate(joints):
+        par = j["parent"]
+        par_new = -1 if par < 0 else last[par]
+        if j.get("type") == COMPOSITE:
+            subs = j["sub"]
+            if not subs:
+                raise ValueError(f"composite joint '{j['name']}' has no subs")
+            for k, sj in enumerate(subs):
+                sj = dict(sj)
+                sj.setdefault("name", f"{j['name']}/{k}")
+                sj["parent"] = par_new if k == 0 else len(out) - 1
+                if k == 0:
+                    # compose mount placement with the first sub's own
+                    Rm = np.asarray(
+                        spatial.rpy_to_rotmat(
+                            jnp.asarray(j.get("rpy", (0.0, 0.0, 0.0)),
+                                        jnp.float64)))
+                    pm = np.asarray(j.get("xyz", (0.0, 0.0, 0.0)), np.float64)
+                    Rs = np.asarray(
+                        spatial.rpy_to_rotmat(
+                            jnp.asarray(sj.pop("rpy", (0.0, 0.0, 0.0)),
+                                        jnp.float64)))
+                    ps = np.asarray(sj.pop("xyz", (0.0, 0.0, 0.0)), np.float64)
+                    sj["R"] = Rm @ Rs
+                    sj["xyz"] = tuple(pm + Rm @ ps)
+                out.append(sj)
+            last[old_i] = len(out) - 1
+        else:
+            j2 = dict(j)
+            j2["parent"] = par_new
+            out.append(j2)
+            last[old_i] = len(out) - 1
+    return out
+
+
 def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
     """Build a KinematicTree from a list of joint dicts.
 
     Each dict: {name, parent (int, -1=world), type, axis (3,) optional,
     axis2 (3,) optional (universal joints' second rotation axis),
-    xyz (3,) optional, rpy (3,) optional}.
+    pitch (helical, m/rad) optional, xyz (3,) optional, rpy (3,) optional,
+    R (3,3) optional (overrides rpy)}.
+    `type=COMPOSITE` dicts carry a `sub` list of joint dicts (stacked at one
+    mount point, pinocchio JointModelComposite) and are expanded into their
+    equivalent serial chain.
     Joints must be listed in topological order (parent before child).
     """
-    parents, jtypes, names = [], [], []
+    joints = expand_composites(joints)
+    parents, jtypes, names, pitches = [], [], [], []
     pR, pp, axes, axes2 = [], [], [], []
     idx_v, idx_q = [], []
     nv = nq = 0
@@ -473,8 +553,11 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
         jtypes.append(t)
         names.append(j["name"])
         xyz = np.asarray(j.get("xyz", (0.0, 0.0, 0.0)), dtype=np.float64)
-        rpy = np.asarray(j.get("rpy", (0.0, 0.0, 0.0)), dtype=np.float64)
-        R = np.asarray(spatial.rpy_to_rotmat(jnp.asarray(rpy)))
+        if "R" in j:
+            R = np.asarray(j["R"], dtype=np.float64)
+        else:
+            rpy = np.asarray(j.get("rpy", (0.0, 0.0, 0.0)), dtype=np.float64)
+            R = np.asarray(spatial.rpy_to_rotmat(jnp.asarray(rpy)))
         ax = np.asarray(j.get("axis", (0.0, 0.0, 1.0)), dtype=np.float64)
         n = np.linalg.norm(ax)
         if n > 0:
@@ -487,6 +570,7 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
         pp.append(xyz)
         axes.append(ax)
         axes2.append(ax2)
+        pitches.append(float(j.get("pitch", 0.0)))
         idx_v.append(nv)
         idx_q.append(nq)
         nv += JOINT_NV[t]
@@ -508,4 +592,6 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
         name=name,
         axis2=(jnp.asarray(np.stack(axes2), dtype=dtype)
                if any(t == UNIVERSAL for t in jtypes) else None),
+        pitches=(tuple(pitches)
+                 if any(t == HELICAL for t in jtypes) else None),
     )

@@ -1,5 +1,6 @@
 from . import distributed
-from .mixed import solve_mixed, solve_mixed_padded
+from .mixed import (MixedPadded, prepare_mixed_padded, solve_mixed,
+                    solve_mixed_padded)
 from .multistart import solve_multistart
 from .sharding import (
     convergence_metrics,
@@ -16,5 +17,7 @@ __all__ = [
     "solve_multistart",
     "solve_mixed",
     "solve_mixed_padded",
+    "prepare_mixed_padded",
+    "MixedPadded",
     "distributed",
 ]

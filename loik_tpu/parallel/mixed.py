@@ -74,26 +74,72 @@ def _np_b(x, B, core_ndim):
     return x
 
 
-def solve_mixed_padded(
-    groups: Sequence[Tuple[KinematicTree, object, IkProblem]],
-    params: SolverParams,
+@dataclasses.dataclass(frozen=True)
+class MixedPadded:
+    """Pre-assembled padded super-batch: the batched-geometry chain and the
+    combined problem are built ONCE (host-side numpy assembly + one device
+    transfer); per-solve work is just packing the configurations — a few
+    device-side pads/concats.  A fleet controller re-solving every tick pays
+    only the q transfer, not a super-batch rebuild (measured: the rebuild +
+    tunnel transfer dominated the mixed bench line at ~128 ms/batch)."""
+
+    chain: KinematicTree
+    problem: IkProblem
+    group_sizes: Tuple[int, ...]
+    group_njoints: Tuple[int, ...]
+
+    def pack_q(self, qs: Sequence[object]) -> jnp.ndarray:
+        """[(Bg, nq_g)...] group configurations -> (B, N) super-batch q
+        (device-side pad + concat; padded joints sit at q = 0 = identity)."""
+        N = self.chain.njoints
+        cols = []
+        for q, n in zip(qs, self.group_njoints):
+            q = jnp.asarray(q, self.chain.dtype)
+            cols.append(jnp.pad(q, ((0, 0), (0, N - n))))
+        return jnp.concatenate(cols, axis=0)
+
+    def solve(self, params: SolverParams, qs: Sequence[object],
+              solve_fn=None) -> List[SolveResult]:
+        run = solve_fn or solve
+        res = run(self.chain, params, self.pack_q(qs), self.problem)
+        return self.unpack(res)
+
+    def unpack(self, res: SolveResult) -> List[SolveResult]:
+        """Split a super-batch result per group (strip padded dofs/links)."""
+        out = []
+        off = 0
+        for n, Bg in zip(self.group_njoints, self.group_sizes):
+            sl = slice(off, off + Bg)
+            out.append(
+                dataclasses.replace(
+                    res,
+                    nu=res.nu[sl, :n],
+                    z=res.z[sl, :n],
+                    vis=res.vis[sl, :n],
+                    converged=res.converged[sl],
+                    primal_infeasible=res.primal_infeasible[sl],
+                    dual_infeasible=res.dual_infeasible[sl],
+                    iterations=res.iterations[sl],
+                    tail_iterations=res.tail_iterations[sl],
+                    primal_residual=res.primal_residual[sl],
+                    dual_residual=res.dual_residual[sl],
+                    state=None,
+                )
+            )
+            off += Bg
+        return out
+
+
+def prepare_mixed_padded(
+    groups: Sequence[Tuple[KinematicTree, int, IkProblem]],
     dtype=None,
-    solve_fn=None,
-) -> List[SolveResult]:
-    """One compiled program + one combined batch over heterogeneous
-    serial-chain robots.
+) -> MixedPadded:
+    """Assemble the padded super-batch for [(tree, batch_size, problem)...].
 
     Requirements (else use :func:`solve_mixed`): every tree is a serial
     chain of 1-dof joints (revolute/prismatic), and every problem has ONE
     equality constraint at its end-effector (the last joint) — the shape of
-    BASELINE configs[1].  Returns per-group SolveResults with each group's
-    own nv (padded dofs stripped).
-
-    solve_fn(tree, params, q, problem) overrides the solver backend (e.g.
-    `refine.solve_two_stage` for tol-1e-6 runs).  The fused kernel supports
-    the batched geometry leaves used here via precomputed per-problem motion
-    subspaces (PreparedProblem.S_all), so two-stage/fused backends work.
-    """
+    BASELINE configs[1]."""
     trees = [g[0] for g in groups]
     for t in trees:
         if not _is_1dof_chain(t):
@@ -112,7 +158,7 @@ def solve_mixed_padded(
     if dtype is None:
         dtype = trees[0].dtype
     N = max(t.njoints for t in trees)
-    Bs = [np.asarray(g[1]).shape[0] for g in groups]
+    Bs = [int(g[1]) for g in groups]
     B = sum(Bs)
 
     # ---- batched-geometry padded chain ---------------------------------
@@ -124,18 +170,16 @@ def solve_mixed_padded(
     pR[:] = np.eye(3)
     pp = np.zeros((N, B, 3))
     ax = np.zeros((N, B, 3))
-    q_sup = np.zeros((B, N))
-    jtypes = []
     off = 0
-    for (tree, q, _), Bg in zip(groups, Bs):
+    for (tree, _, _), Bg in zip(groups, Bs):
         n = tree.njoints
         pR[:n, off : off + Bg] = np.asarray(tree.placement_R)[:, None]
         pp[:n, off : off + Bg] = np.asarray(tree.placement_p)[:, None]
         ax[:n, off : off + Bg] = np.asarray(tree.axis)[:, None]
-        q_sup[off : off + Bg, :n] = np.asarray(q)
         off += Bg
     # per-slot joint TYPE must agree across groups (type is static; the
     # batched-leaf trick moves axes/placements per problem, not S layout)
+    jtypes = []
     for slot in range(N):
         types = {t.jtypes[slot] for t in trees if t.njoints > slot}
         if len(types) > 1:
@@ -188,31 +232,30 @@ def solve_mixed_padded(
         ub=jnp.asarray(ub, dtype),
         constraint_links=(N - 1,),
     )
+    return MixedPadded(
+        chain=chain, problem=sup, group_sizes=tuple(Bs),
+        group_njoints=tuple(t.njoints for t in trees),
+    )
 
-    run = solve_fn or solve
-    res = run(chain, params, jnp.asarray(q_sup, dtype), sup)
 
-    # ---- unpack per group (strip padded dofs/links) ----------------------
-    out = []
-    off = 0
-    for (tree, _, _), Bg in zip(groups, Bs):
-        n = tree.njoints
-        sl = slice(off, off + Bg)
-        out.append(
-            dataclasses.replace(
-                res,
-                nu=res.nu[sl, :n],
-                z=res.z[sl, :n],
-                vis=res.vis[sl, :n],
-                converged=res.converged[sl],
-                primal_infeasible=res.primal_infeasible[sl],
-                dual_infeasible=res.dual_infeasible[sl],
-                iterations=res.iterations[sl],
-                tail_iterations=res.tail_iterations[sl],
-                primal_residual=res.primal_residual[sl],
-                dual_residual=res.dual_residual[sl],
-                state=None,
-            )
-        )
-        off += Bg
-    return out
+def solve_mixed_padded(
+    groups: Sequence[Tuple[KinematicTree, object, IkProblem]],
+    params: SolverParams,
+    dtype=None,
+    solve_fn=None,
+) -> List[SolveResult]:
+    """One compiled program + one combined batch over heterogeneous
+    serial-chain robots: `prepare_mixed_padded` + `MixedPadded.solve` in one
+    call (re-solving loops should hold on to the prepared object instead —
+    the assembly is the expensive part).  Returns per-group SolveResults with
+    each group's own nv (padded dofs stripped).
+
+    solve_fn(tree, params, q, problem) overrides the solver backend (e.g.
+    `refine.solve_delta_duals` for tol-1e-6 runs).  The fused kernel supports
+    the batched geometry leaves used here via precomputed per-problem motion
+    subspaces (PreparedProblem.S_all), so delta/two-stage backends work.
+    """
+    mp = prepare_mixed_padded(
+        [(t, np.asarray(q).shape[0], p) for t, q, p in groups], dtype
+    )
+    return mp.solve(params, [q for _, q, _ in groups], solve_fn=solve_fn)

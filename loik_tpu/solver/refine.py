@@ -309,6 +309,13 @@ def _delta_duals_jit(tree32, tree64, p1, p2, q, prob32, prob64, warm_state,
 
     # ---- the f32 delta problem ------------------------------------------
     pp32 = prepare_problem(tree32, prob32, B, f32)
+    if tree32.axis.ndim == 3:
+        # batched geometry (mixed super-batch): precompute per-problem
+        # subspaces once; both the fused stage-2 kernel and the XLA loop
+        # consume them as data
+        from ..kernels.fused import with_S_all
+
+        pp32 = with_S_all(tree32, pp32, f32)
     prob_d = dataclasses.replace(
         pp32,
         Hv=(-d0_v).astype(f32),

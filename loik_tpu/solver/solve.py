@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -110,10 +111,83 @@ def fwd_pass_init(tree, q):
 # --------------------------------------------------------------------------- #
 
 
+def _S_lists(tree, prob: PreparedProblem, B: int, dtype):
+    """Per-joint motion-subspace tiles (6, k, B), exact dof sizes.
+
+    S leaves are traced (they derive from the tree's axis leaf), broadcast
+    to the full (6, k, B) tile up front: a shared (6, k, 1) operand makes
+    k>1 contractions broadcast in sublanes AND lanes at once, which Mosaic
+    rejects ("Broadcast in both sublanes and lanes"); XLA fuses the
+    explicit broadcast into consumers either way.  Per-problem batched
+    subspaces — (B, 6, k) from the mixed super-batch path — move their
+    batch dim to the trailing lane axis instead."""
+    def _S_tile(i):
+        Si = tree.joint_S(i).astype(dtype)
+        if Si.ndim == 3:
+            return jnp.moveaxis(Si, 0, -1)              # (B,6,k) -> (6,k,B)
+        return jnp.broadcast_to(Si[:, :, None], (6, tree.nvs[i], B))
+
+    if prob.S_list is not None:  # per-joint exact-size (6, k, B), q-dependent
+        return list(prob.S_list)
+    if prob.S_all is not None:   # precomputed (N,6,K,B), uniform K (see state)
+        return [prob.S_all[i] for i in range(tree.njoints)]
+    return [_S_tile(i) for i in range(tree.njoints)]
+
+
+def _h_sweep(tree, prob: PreparedProblem, params: SolverParams,
+             st: SolverState, S):
+    """The mu-dependent half of the backward Riccati sweep: accumulated His,
+    U = H S, D^-1 and U D^-1 per joint (calc_aba quantities,
+    loik-loid-optimized.hxx:21-83).  These depend ONLY on (mu_eq, mu_ineq)
+    and the iteration-constant geometry — not on the duals or p — so the
+    fused kernel recomputes them once per penalty epoch instead of once per
+    iteration (`make_phase_loops`); the plain path computes them inline every
+    iteration, with identical values either way."""
+    N = tree.njoints
+    dtype = st.vis.dtype
+    nvs, parents = tree.nvs, tree.parents
+    mu_eq, mu_ineq = st.mu_eq, st.mu_ineq
+    rho = jnp.asarray(params.rho, dtype)
+    eye6 = jnp.eye(6, dtype=dtype)[:, :, None]
+
+    H = rho * eye6 + prob.H_ref                    # (N,6,6,B)
+    H_list = [H[i] for i in range(N)]
+    for k, c in enumerate(prob.constraint_links):
+        H_list[c] = H_list[c] + mu_eq * prob.AtA[k]
+
+    Dinv = [None] * N
+    U = [None] * N
+    UDinv = [None] * N
+    for i in reversed(range(N)):
+        Si = S[i]
+        k = nvs[i]
+        Hi = H_list[i]       # (6,6,B) accumulated (children already added)
+        Ui = bsp.mm(Hi, Si)                                # H S    (6,k,B)
+        Di = bsp.mtm(Si, Ui)                               # S^T H S (k,k,B)
+        Ri = mu_ineq * jnp.eye(k, dtype=dtype)[:, :, None]
+        Di = Di + Ri
+        # unrolled SPD Cholesky inverse: Mosaic-lowerable (linalg.inv's LU is
+        # not) and free of the XLA batch transposes around LAPACK kernels
+        Dinv_i = bsp.spd_inv(Di)
+        Dinv[i], U[i] = Dinv_i, Ui
+        par = parents[i]
+        if par >= 0:
+            UDinv[i] = bsp.mm(Ui, Dinv_i)                      # (6,k,B)
+            Ha = Hi - bsp.mmt(UDinv[i], Ui)                    # H - U D^-1 U^T
+            H_list[par] = H_list[par] + bsp.act_sym6(
+                st.liMi_R[i], st.liMi_p[i], Ha
+            )
+    return H_list, U, Dinv, UDinv
+
+
 def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverState,
-               debug: bool = False):
+               debug: bool = False, h_cache=None):
     """Compute one ADMM iteration for every problem in the batch; returns the
     pieces needed for flag/penalty updates.  Pure function of the state.
+
+    h_cache, when given, supplies the `_h_sweep` quantities (computed this
+    iteration or reused from a previous one — identical values either way,
+    see `_h_sweep`).
 
     debug=True additionally returns every per-pass intermediate (post-FwdPass1
     H/p, post-BwdPass accumulated H/p/Dinv/r_tot, FwdPass2 outputs, dual-
@@ -125,25 +199,7 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     N, K = tree.njoints, tree.nv_max
     dtype = st.vis.dtype
     B = st.vis.shape[-1]
-    # S leaves are traced (they derive from the tree's axis leaf), broadcast
-    # to the full (6, k, B) tile up front: a shared (6, k, 1) operand makes
-    # k>1 contractions broadcast in sublanes AND lanes at once, which Mosaic
-    # rejects ("Broadcast in both sublanes and lanes"); XLA fuses the
-    # explicit broadcast into consumers either way.  Per-problem batched
-    # subspaces — (B, 6, k) from the mixed super-batch path — move their
-    # batch dim to the trailing lane axis instead.
-    def _S_tile(i):
-        Si = tree.joint_S(i).astype(dtype)
-        if Si.ndim == 3:
-            return jnp.moveaxis(Si, 0, -1)              # (B,6,k) -> (6,k,B)
-        return jnp.broadcast_to(Si[:, :, None], (6, tree.nvs[i], B))
-
-    if prob.S_list is not None:  # per-joint exact-size (6, k, B), q-dependent
-        S = list(prob.S_list)
-    elif prob.S_all is not None:  # precomputed (N,6,K,B), uniform K (see state)
-        S = [prob.S_all[i] for i in range(N)]
-    else:
-        S = [_S_tile(i) for i in range(N)]
+    S = _S_lists(tree, prob, B, dtype)
     nvs, parents = tree.nvs, tree.parents
     c_links = prob.constraint_links
     mu_eq = st.mu_eq  # (B,)
@@ -160,54 +216,48 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     eye6 = jnp.eye(6, dtype=dtype)[:, :, None]
 
     # ---------------- FwdPass1 (loik-loid-optimized.hxx:290-338) ----------
+    # The H half (His, U, D^-1, U D^-1 — everything touched by the Riccati
+    # matrix recursion) lives in `_h_sweep`; the p/r half below runs every
+    # iteration.  Constrained joints get their mu_eq terms added on the
+    # unstacked values (no scatter — keeps the whole pass SSA, which both
+    # XLA and the Mosaic kernel lowering need).
     r = st.w - mu_ineq * st.z                      # (N,K,B)
     if prob.r_offset is not None:  # delta-duals nu-block linear term
         r = r + prob.r_offset
-    H = rho * eye6 + prob.H_ref                    # (N,6,6,B)
     p = -rho * st.vis - prob.Hv                    # vis == vis_prev at entry
-
-    # unstack to per-joint SSA values for the sweeps; constrained joints get
-    # their mu_eq terms added on the unstacked values (no scatter — keeps the
-    # whole pass SSA, which both XLA and the Mosaic kernel lowering need)
-    H_list = [H[i] for i in range(N)]
     p_list = [p[i] for i in range(N)]
     for k, c in enumerate(c_links):
-        H_list[c] = H_list[c] + mu_eq * prob.AtA[k]
         p_list[c] = p_list[c] + st.Aty[k] - mu_eq * prob.Atb[k]
     lR = [st.liMi_R[i] for i in range(N)]
     lp = [st.liMi_p[i] for i in range(N)]
     dbg = {}
-    if debug:  # post-FwdPass1 snapshot (arrays are immutable; copy the lists)
-        dbg["H_fwd1"] = list(H_list)
+    if debug:  # post-FwdPass1 snapshot (pre-accumulation H rebuilt for the
+        # lockstep comparison; arrays are immutable — copy the lists)
+        H0 = rho * eye6 + prob.H_ref
+        H0_list = [H0[i] for i in range(N)]
+        for k, c in enumerate(c_links):
+            H0_list[c] = H0_list[c] + mu_eq * prob.AtA[k]
+        dbg["H_fwd1"] = H0_list
         dbg["p_fwd1"] = list(p_list)
         dbg["r_fwd1"] = r
 
     # ---------------- BwdPass: backward Riccati sweep ---------------------
     # (loik-loid.hxx:82-113 semantics via the calc_aba form,
-    #  loik-loid-optimized.hxx:21-83)
-    Dinv = [None] * N
-    U = [None] * N
+    #  loik-loid-optimized.hxx:21-83).  Matrix recursion from `_h_sweep`
+    # (cached across iterations in the fused kernel); the p/r recursion
+    # interleaves with it in the reference — split here, same order/values.
+    if h_cache is None:
+        h_cache = _h_sweep(tree, prob, params, st, S)
+    H_list, U, Dinv, UDinv = h_cache
     r_tot = [None] * N
     for i in reversed(range(N)):
-        Si = S[i]            # (6, k) static
         k = nvs[i]
-        Hi = H_list[i]       # (6,6,B) accumulated (children already added)
-        pi = p_list[i]
-        Ui = bsp.mm(Hi, Si)                                # H S    (6,k,B)
-        Di = bsp.mtm(Si, Ui)                               # S^T H S (k,k,B)
-        Ri = mu_ineq * jnp.eye(k, dtype=dtype)[:, :, None]
-        Di = Di + Ri
-        # unrolled SPD Cholesky inverse: Mosaic-lowerable (linalg.inv's LU is
-        # not) and free of the XLA batch transposes around LAPACK kernels
-        Dinv_i = bsp.spd_inv(Di)
-        ri = r[i, :k] + bsp.mtv(Si, pi)                    # r + S^T p  (k,B)
-        Dinv[i], U[i], r_tot[i] = Dinv_i, Ui, ri
+        pi = p_list[i]       # (6,B) accumulated (children already added)
+        ri = r[i, :k] + bsp.mtv(S[i], pi)                  # r + S^T p  (k,B)
+        r_tot[i] = ri
         par = parents[i]
         if par >= 0:
-            UDinv = bsp.mm(Ui, Dinv_i)                         # (6,k,B)
-            Ha = Hi - bsp.mmt(UDinv, Ui)                       # H - U D^-1 U^T
-            pa = pi - bsp.mv(UDinv, ri)                        # p - U D^-1 r
-            H_list[par] = H_list[par] + bsp.act_sym6(lR[i], lp[i], Ha)
+            pa = pi - bsp.mv(UDinv[i], ri)                     # p - U D^-1 r
             p_list[par] = p_list[par] + bsp.act_force(lR[i], lp[i], pa)
 
     if debug:  # post-BwdPass: accumulated Riccati quantities
@@ -417,17 +467,33 @@ def _masked_merge(mask, new, old):
 
 
 def loop_cond(st: SolverState):
+    """Masked-termination condition (kept as the public single-state form;
+    the loop drivers read it through their carry codecs)."""
     return jnp.any(st.running)
 
 
 def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
     """One ADMM iteration + flag/penalty transitions as a pure
-    SolverState -> SolverState function (shared by the XLA while loop and the
-    fused Pallas kernel, which wraps it in its own carry encoding)."""
+    SolverState -> SolverState function (the XLA while-loop body; the fused
+    Pallas kernel wraps `_make_body_core` in its own cached-carry encoding)."""
+    core = _make_body_core(tree, prob, params)
+
+    def body(st: SolverState) -> SolverState:
+        st2, _ = core(st, None)
+        return st2
+
+    return body
+
+
+def _make_body_core(tree, prob: PreparedProblem, params: SolverParams):
+    """(state, h_cache) -> (state', mu_changed): the shared iteration + flag
+    transition logic.  ``mu_changed`` (scalar bool) reports whether any
+    problem's penalty changed — the staleness signal for the `_h_sweep`
+    cache."""
 
     max_iter = params.max_iter
 
-    def body(st: SolverState) -> SolverState:
+    def body(st: SolverState, h_cache):
         dtype = st.mu.dtype
         ten = jnp.asarray(10.0, dtype)
         tenth = jnp.asarray(0.1, dtype)
@@ -435,7 +501,7 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
         eq_scale = jnp.asarray(params.mu_equality_scale_factor, dtype)
         i = st.it + 1
         active = st.running                      # (B,)
-        new, checks = _iteration(tree, prob, params, st)
+        new, checks = _iteration(tree, prob, params, st, h_cache=h_cache)
 
         # --- flag transitions -------------------------------------------
         # normal-mode problems: convergence first, then feasibility (iter>1),
@@ -540,17 +606,109 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
             )
             updates["log_dx"] = logset(st.log_dx, new["delta_x_inf"])
             updates["log_dz"] = logset(st.log_dz, new["delta_z_inf"])
-        return dataclasses.replace(st, **updates)
+        # i32 max instead of bool any: Mosaic lowers reduce_or through a
+        # float proxy that becomes f64 under x64 and fails the scalar squeeze
+        mu_changed = jnp.max((mu_next != st.mu).astype(jnp.int32)) > 0
+        return dataclasses.replace(st, **updates), mu_changed
 
     return body
 
 
+def use_phase_loops(tree) -> bool:
+    """Static choice of loop structure, from the tree alone so the XLA loop
+    and the fused kernel always agree (different structures compile to
+    fp-divergent graphs, breaking the bit-exact drop-in contract).
+
+    DEFAULT OFF — measured on v5e (delta mode, tol 1e-6): flagship 385k/s
+    either way, solo12 304k/s with phases vs 337k/s without, talos OOMs
+    VMEM (+2.4 MB live `_h_sweep` arrays at tile 128, limit 16 MB).  The
+    ~50% skippable H-recursions the CPU trace predicted do not translate to
+    wall time: the kernel is VPU-issue-bound on its MANY small ops, and the
+    big sweep FMAs the cache removes were pipelining behind them.  Kept
+    behind LOIK_PHASE_LOOPS=1 for re-measurement on other hardware, with a
+    VMEM-footprint gate at the tree's default kernel tile."""
+    if os.environ.get("LOIK_PHASE_LOOPS", "0") != "1":
+        return False
+    N, K = tree.njoints, tree.nv_max
+    bt = 256 if N * 256 <= 2048 else 128  # refine.default_batch_tile
+    h_bytes = N * (36 + 12 * K + K * K) * bt * 4
+    return h_bytes <= 1_200_000
+
+
+def make_phase_loops(tree, prob: PreparedProblem, params: SolverParams,
+                     enc_st, dec_st, running_any):
+    """The solve loop as TWO nested while loops: the outer "phase" loop
+    recomputes the `_h_sweep` quantities (unconditionally — its body runs
+    exactly once per penalty epoch), and the inner loop iterates with that H
+    frozen until a penalty update invalidates it or the batch finishes.
+    Trajectories are identical to the single-loop form — every iteration
+    consumes an H consistent with its (mu_eq, mu_ineq) — but the sweep's
+    matrix recursion (~40% of the per-iteration arithmetic: act_sym6, H S,
+    SPD inverses) runs once per epoch instead of once per iteration.
+    Measured on the flagship workload: >50% of executed (tile, iteration)
+    pairs fall inside an epoch, concentrated in the straggler tail the
+    masked loop waits on.
+
+    Expressed as nested `lax.while_loop`s rather than a `lax.cond` cache:
+    Mosaic turns the cond's branches into a scalar-predicated vector
+    `arith.select` it cannot legalize (both branches computed, then select).
+
+    The carry is a TUPLE: `enc_st`/`dec_st` translate between it and
+    SolverState (the fused kernel needs uniformly >=2-D arrays; the XLA path
+    uses the 1-tuple `(state,)`), and `running_any(carry) -> scalar bool`
+    reads the termination mask from it.  Both the XLA loop and the fused
+    kernel run THIS structure, so their compiled graphs stay
+    shape-congruent — with differently-structured graphs, XLA's per-graph
+    fusion/partitioning choices produce small fp divergences that break the
+    bit-exact fused-vs-XLA drop-in contract (observed under the 8-virtual-
+    device test env)."""
+    core = _make_body_core(tree, prob, params)
+
+    if not use_phase_loops(tree):
+        # large trees: the live H cache would blow the fused kernel's VMEM
+        # budget (talos at tile 128: +2.4 MB on a ~16 MB limit, measured
+        # OOM); run the classic single loop with the sweep inline
+        def body_single(carry):
+            st2, _ = core(dec_st(carry), None)
+            return enc_st(st2)
+
+        return running_any, body_single
+
+    def body_outer(carry):
+        st = dec_st(carry)
+        B = st.vis.shape[-1]
+        S = _S_lists(tree, prob, B, st.vis.dtype)
+        h = _h_sweep(tree, prob, params, st, S)
+
+        def cond_inner(c2):
+            return running_any(c2[:-1]) & (c2[-1][0, 0] == 0)
+
+        def body_inner(c2):
+            st2, mu_changed = core(dec_st(c2[:-1]), h)
+            flag = jnp.reshape(mu_changed.astype(jnp.int32), (1, 1))
+            return enc_st(st2) + (flag,)
+
+        c2 = jax.lax.while_loop(
+            cond_inner, body_inner,
+            tuple(carry) + (jnp.zeros((1, 1), jnp.int32),)
+        )
+        return c2[:-1]
+
+    return running_any, body_outer
+
+
 def _solve_loop(tree, prob: PreparedProblem, params: SolverParams, st: SolverState):
-    """Run the ADMM main loop + per-problem infeasibility tail solves inside
-    one lax.while_loop with masked termination (Solve,
-    loik-loid-optimized.hpp:368-455 + InfeasibilityTailSolve :266-319)."""
-    body = make_loop_body(tree, prob, params)
-    return jax.lax.while_loop(loop_cond, body, st)
+    """Run the ADMM main loop + per-problem infeasibility tail solves with
+    masked termination (Solve, loik-loid-optimized.hpp:368-455 +
+    InfeasibilityTailSolve :266-319), in the nested penalty-epoch structure
+    of `make_phase_loops` (same structure as the fused kernel)."""
+    cond, body = make_phase_loops(
+        tree, prob, params,
+        lambda s: (s,), lambda c: c[0],
+        lambda c: jnp.any(c[0].running),
+    )
+    final = jax.lax.while_loop(cond, body, (st,))
+    return final[0]
 
 
 # --------------------------------------------------------------------------- #

@@ -17,9 +17,9 @@ import pytest
 
 from loik_tpu.model import robots
 from loik_tpu.model.builders import random_tree
-from loik_tpu.model.tree import (FREE_FLYER, PLANAR, PRISMATIC, REVOLUTE,
-                                 REVOLUTE_UNBOUNDED, SPHERICAL, TRANSLATION,
-                                 UNIVERSAL, make_tree)
+from loik_tpu.model.tree import (FREE_FLYER, HELICAL, PLANAR, PRISMATIC,
+                                 REVOLUTE, REVOLUTE_UNBOUNDED, SPHERICAL,
+                                 TRANSLATION, UNIVERSAL, make_tree)
 from loik_tpu.model.urdf import load_urdf
 from loik_tpu.oracle import OracleSolver
 from loik_tpu.params import SolverParams
@@ -29,13 +29,13 @@ from loik_tpu.solver import solve
 PARAMS = SolverParams(max_iter=150, tol_abs=1e-6, tol_rel=1e-6)
 
 ALL_TYPES = (REVOLUTE, PRISMATIC, FREE_FLYER, SPHERICAL, REVOLUTE_UNBOUNDED,
-             TRANSLATION, PLANAR, UNIVERSAL)
+             TRANSLATION, PLANAR, UNIVERSAL, HELICAL)
 
 
-def one_joint_tree(t, axis=(0, 0, 1), axis2=(0, 1, 0)):
+def one_joint_tree(t, axis=(0, 0, 1), axis2=(0, 1, 0), pitch=0.12):
     return make_tree(
         [dict(name="j0", parent=-1, type=t, axis=axis, axis2=axis2,
-              velocity_limit=3.0)],
+              pitch=pitch, velocity_limit=3.0)],
         name=f"one_{t}",
     )
 
@@ -69,6 +69,57 @@ def test_subspace_matches_finite_difference(t):
         v = S @ dq
         np.testing.assert_allclose(lin, v[:3], atol=2e-6)
         np.testing.assert_allclose(ang, v[3:], atol=2e-6)
+
+
+def test_helical_screw_motion():
+    """A helical joint advances pitch metres per radian along its axis while
+    rotating about it; pitch=0 degenerates to a plain revolute."""
+    ax = np.array([0.36, 0.48, 0.8])
+    t = one_joint_tree(HELICAL, axis=tuple(ax), pitch=0.25)
+    for th in (-2.0, 0.7, 3.5):
+        R, p = t.joint_calc(0, jnp.asarray([th]))
+        Rr, _ = one_joint_tree(REVOLUTE, axis=tuple(ax)).joint_calc(
+            0, jnp.asarray([th]))
+        np.testing.assert_allclose(np.asarray(R), np.asarray(Rr), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(p), 0.25 * th * ax, atol=1e-12)
+    t0 = one_joint_tree(HELICAL, axis=tuple(ax), pitch=0.0)
+    S = np.asarray(t0.joint_S(0))
+    np.testing.assert_allclose(S[:3, 0], 0.0, atol=1e-15)
+    np.testing.assert_allclose(S[3:, 0], ax, atol=1e-12)
+
+
+def test_composite_expands_to_equivalent_chain():
+    """A COMPOSITE joint (stacked sub-joints at one mount, pinocchio
+    JointModelComposite) must build the same tree as the hand-written
+    sub-joint chain: same FK, same solve."""
+    from loik_tpu.model.tree import COMPOSITE
+
+    sub = [dict(name="rz", type=REVOLUTE, axis=(0, 0, 1)),
+           dict(name="px", type=PRISMATIC, axis=(1, 0, 0),
+                xyz=(0.1, 0, 0))]
+    tc = make_tree(
+        [dict(name="base", parent=-1, type=COMPOSITE, sub=sub,
+              xyz=(0.2, 0.0, 0.5), rpy=(0.3, -0.2, 0.1)),
+         dict(name="elbow", parent=0, type=REVOLUTE, axis=(0, 1, 0),
+              xyz=(0.3, 0, 0))],
+        name="composite",
+    )
+    tm = make_tree(
+        [dict(name="rz", parent=-1, type=REVOLUTE, axis=(0, 0, 1),
+              xyz=(0.2, 0.0, 0.5), rpy=(0.3, -0.2, 0.1)),
+         dict(name="px", parent=0, type=PRISMATIC, axis=(1, 0, 0),
+              xyz=(0.1, 0, 0)),
+         dict(name="elbow", parent=1, type=REVOLUTE, axis=(0, 1, 0),
+              xyz=(0.3, 0, 0))],
+        name="manual",
+    )
+    assert tc.jtypes == tm.jtypes and tc.parents == tm.parents
+    assert tc.joint_names == ("rz", "px", "elbow")  # sub names kept
+    q = tm.random_configuration(jax.random.PRNGKey(3))
+    for a, m in zip(tc.fwd_kinematics(q), tm.fwd_kinematics(q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(m), atol=1e-12)
+    # the composite's children hang off the LAST sub-joint
+    assert tc.parents[2] == 1
 
 
 def test_unbounded_matches_bounded_revolute():
@@ -213,7 +264,7 @@ def test_fuzz_new_types_parity(seed):
     UNIVERSAL joints: fast solver (incl. the q-dependent S_list path) vs
     oracle at 1e-9."""
     rng = np.random.default_rng(200 + seed)
-    force = (PLANAR, TRANSLATION, REVOLUTE_UNBOUNDED, UNIVERSAL)
+    force = (PLANAR, TRANSLATION, REVOLUTE_UNBOUNDED, UNIVERSAL, HELICAL)
     tree = random_tree(rng, int(rng.integers(6, 10)), force_types=force)
     assert set(force) <= set(tree.jtypes)
     c_links = (tree.leaf_joints[-1],)
