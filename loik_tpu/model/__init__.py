@@ -7,6 +7,7 @@ from .tree import (
     REVOLUTE,
     REVOLUTE_UNBOUNDED,
     SPHERICAL,
+    SPHERICAL_ZYX,
     TRANSLATION,
     UNIVERSAL,
     KinematicTree,
@@ -24,6 +25,7 @@ __all__ = [
     "PRISMATIC",
     "FREE_FLYER",
     "SPHERICAL",
+    "SPHERICAL_ZYX",
     "REVOLUTE_UNBOUNDED",
     "TRANSLATION",
     "PLANAR",

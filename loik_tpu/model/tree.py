@@ -56,13 +56,17 @@ HELICAL = 8              # screw: rotation + pitch-coupled translation along
                          # traced leaf — it parameterizes the motion
                          # subspace, which the fused kernel derives from
                          # trace-time constants; changing pitch recompiles)
+SPHERICAL_ZYX = 9        # ball joint on the Euler Z-Y-X chart (pinocchio
+                         # JointModelSphericalZYX): nq = nv = 3 Euler-angle
+                         # RATES, vector-space integration, configuration-
+                         # dependent motion subspace (like UNIVERSAL)
 
 JOINT_NV = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 6, SPHERICAL: 3,
             REVOLUTE_UNBOUNDED: 1, TRANSLATION: 3, PLANAR: 3, UNIVERSAL: 2,
-            HELICAL: 1}
+            HELICAL: 1, SPHERICAL_ZYX: 3}
 JOINT_NQ = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 7, SPHERICAL: 4,
             REVOLUTE_UNBOUNDED: 2, TRANSLATION: 3, PLANAR: 4, UNIVERSAL: 2,
-            HELICAL: 1}
+            HELICAL: 1, SPHERICAL_ZYX: 3}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -170,9 +174,9 @@ class KinematicTree:
     @property
     def has_q_dependent_S(self) -> bool:
         """True when any joint's motion subspace depends on the configuration
-        (universal joints) — the solver then computes per-problem subspaces
-        at solve time instead of trace-constant ones."""
-        return any(t == UNIVERSAL for t in self.jtypes)
+        (universal / spherical-ZYX joints) — the solver then computes
+        per-problem subspaces at solve time instead of trace-constant ones."""
+        return any(t in (UNIVERSAL, SPHERICAL_ZYX) for t in self.jtypes)
 
     def joint_S(self, i: int, q: jnp.ndarray = None) -> jnp.ndarray:
         """Motion subspace of joint i, shape (6, nv_i), [linear; angular] rows.
@@ -216,6 +220,28 @@ class KinematicTree:
             S = np.zeros((6, 3))
             S[0, 0] = S[1, 1] = S[5, 2] = 1.0
             return jnp.asarray(S, dt)
+        if t == SPHERICAL_ZYX:
+            # body-frame angular velocity of R = Rz(a) Ry(b) Rx(c) in terms
+            # of Euler-angle rates (the joint's velocity coordinates):
+            #   ω = ȧ · Rx(c)^T Ry(b)^T ez + ḃ · Rx(c)^T ey + ċ · ex
+            # (pinocchio JointModelSphericalZYX) — depends on (b, c)
+            if q is None:
+                raise ValueError(
+                    f"joint {i} is spherical-ZYX: its motion subspace "
+                    "depends on the configuration; call joint_S(i, q)"
+                )
+            iq = self.idx_q[i]
+            b_, c_ = q[..., iq + 1], q[..., iq + 2]
+            cb, sb = jnp.cos(b_), jnp.sin(b_)
+            cc, sc = jnp.cos(c_), jnp.sin(c_)
+            z = jnp.zeros_like(cb)
+            o = jnp.ones_like(cb)
+            col0 = jnp.stack([-sb, sc * cb, cc * cb], axis=-1)
+            col1 = jnp.stack([z, cc, -sc], axis=-1)
+            col2 = jnp.stack([o, z, z], axis=-1)
+            ang = jnp.stack([col0, col1, col2], axis=-1)      # (..., 3, 3)
+            zeros = jnp.zeros(cb.shape + (3, 3), dt)
+            return jnp.concatenate([zeros, ang], axis=-2)
         if t == UNIVERSAL:
             # body-frame angular velocity of M = R1(q1) R2(q2):
             #   ω = q̇1 · R2(q2)^T a1  +  q̇2 · a2
@@ -324,6 +350,12 @@ class KinematicTree:
             )
             p = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
             return R, p
+        if t == SPHERICAL_ZYX:
+            # R = Rz(a) Ry(b) Rx(c) == rpy_to_rotmat((c, b, a))
+            a_, b_, c_ = q[..., iq], q[..., iq + 1], q[..., iq + 2]
+            rpy = jnp.stack([c_, b_, a_], axis=-1)
+            R = spatial.rpy_to_rotmat(rpy)
+            return R, jnp.zeros(a_.shape + (3,), self.dtype)
         if t == UNIVERSAL:
             q1, q2 = q[..., iq], q[..., iq + 1]
             R1 = spatial.rotation_about_axis(
@@ -392,10 +424,11 @@ class KinematicTree:
             iq, iv = self.idx_q[i], self.idx_v[i]
             if t in (REVOLUTE, PRISMATIC, HELICAL):
                 out = out.at[..., iq].set(out[..., iq] + dq[..., iv])
-            elif t in (TRANSLATION, UNIVERSAL):
+            elif t in (TRANSLATION, UNIVERSAL, SPHERICAL_ZYX):
                 # vector-space joints: plain addition (pinocchio convention;
-                # a translation joint's local frame never rotates, and the
-                # universal joint's config space is two bounded angles)
+                # a translation joint's local frame never rotates, the
+                # universal joint's config space is two bounded angles, and
+                # spherical-ZYX velocities ARE the Euler-angle rates)
                 k = JOINT_NV[t]
                 out = out.at[..., iq : iq + k].set(
                     out[..., iq : iq + k] + dq[..., iv : iv + k]

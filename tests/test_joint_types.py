@@ -1,5 +1,5 @@
 """Broadened joint model: unbounded revolute (nq=2), translation, planar,
-universal — construction, kinematics, subspace consistency, integration,
+universal, helical, spherical-ZYX, composite — construction, kinematics, subspace consistency, integration,
 URDF mapping (incl. `continuous` -> unbounded, the Pinocchio convention),
 native-parser parity, and fast-vs-oracle solver parity.
 
@@ -19,7 +19,8 @@ from loik_tpu.model import robots
 from loik_tpu.model.builders import random_tree
 from loik_tpu.model.tree import (FREE_FLYER, HELICAL, PLANAR, PRISMATIC,
                                  REVOLUTE, REVOLUTE_UNBOUNDED, SPHERICAL,
-                                 TRANSLATION, UNIVERSAL, make_tree)
+                                 SPHERICAL_ZYX, TRANSLATION, UNIVERSAL,
+                                 make_tree)
 from loik_tpu.model.urdf import load_urdf
 from loik_tpu.oracle import OracleSolver
 from loik_tpu.params import SolverParams
@@ -29,7 +30,7 @@ from loik_tpu.solver import solve
 PARAMS = SolverParams(max_iter=150, tol_abs=1e-6, tol_rel=1e-6)
 
 ALL_TYPES = (REVOLUTE, PRISMATIC, FREE_FLYER, SPHERICAL, REVOLUTE_UNBOUNDED,
-             TRANSLATION, PLANAR, UNIVERSAL, HELICAL)
+             TRANSLATION, PLANAR, UNIVERSAL, HELICAL, SPHERICAL_ZYX)
 
 
 def one_joint_tree(t, axis=(0, 0, 1), axis2=(0, 1, 0), pitch=0.12):
@@ -65,7 +66,7 @@ def test_subspace_matches_finite_difference(t):
         ang = np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
                         dR[1, 0] - dR[0, 1]]) / (2 * h)
         S = np.asarray(tree.joint_S(0, jnp.asarray(q))
-                       if t == UNIVERSAL else tree.joint_S(0))
+                       if tree.has_q_dependent_S else tree.joint_S(0))
         v = S @ dq
         np.testing.assert_allclose(lin, v[:3], atol=2e-6)
         np.testing.assert_allclose(ang, v[3:], atol=2e-6)
@@ -120,6 +121,30 @@ def test_composite_expands_to_equivalent_chain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(m), atol=1e-12)
     # the composite's children hang off the LAST sub-joint
     assert tc.parents[2] == 1
+
+
+def test_spherical_zyx_matches_euler_chain():
+    """Spherical-ZYX FK equals the Rz·Ry·Rx revolute chain with identity
+    intermediate placements, and its motion subspace maps Euler-angle rates
+    to the same body angular velocity as the chain's Jacobian."""
+    tz = one_joint_tree(SPHERICAL_ZYX)
+    tchain = make_tree(
+        [dict(name="rz", parent=-1, type=REVOLUTE, axis=(0, 0, 1)),
+         dict(name="ry", parent=0, type=REVOLUTE, axis=(0, 1, 0)),
+         dict(name="rx", parent=1, type=REVOLUTE, axis=(1, 0, 0))],
+        name="euler_chain",
+    )
+    q = jnp.asarray([0.7, -0.4, 1.1])
+    _, _, oR_z, _ = tz.fwd_kinematics(q)
+    _, _, oR_c, _ = tchain.fwd_kinematics(q)
+    np.testing.assert_allclose(np.asarray(oR_z[0]), np.asarray(oR_c[2]),
+                               atol=1e-14)
+    # batched joint_S agrees with per-problem evaluation
+    qb = tz.random_configuration(jax.random.PRNGKey(2), (4,))
+    Sb = np.asarray(tz.joint_S(0, qb))
+    for k in range(4):
+        np.testing.assert_allclose(
+            Sb[k], np.asarray(tz.joint_S(0, qb[k])), atol=1e-14)
 
 
 def test_unbounded_matches_bounded_revolute():
@@ -264,7 +289,8 @@ def test_fuzz_new_types_parity(seed):
     UNIVERSAL joints: fast solver (incl. the q-dependent S_list path) vs
     oracle at 1e-9."""
     rng = np.random.default_rng(200 + seed)
-    force = (PLANAR, TRANSLATION, REVOLUTE_UNBOUNDED, UNIVERSAL, HELICAL)
+    force = (PLANAR, TRANSLATION, REVOLUTE_UNBOUNDED, UNIVERSAL, HELICAL,
+             SPHERICAL_ZYX)
     tree = random_tree(rng, int(rng.integers(6, 10)), force_types=force)
     assert set(force) <= set(tree.jtypes)
     c_links = (tree.leaf_joints[-1],)
@@ -318,6 +344,38 @@ def test_mobile_ur5_two_stage_xla_fallback():
     qs = tree.random_configuration(jax.random.PRNGKey(5), (8,))
     res = solve_two_stage(tree, PARAMS, qs, problem)
     assert np.asarray(res.converged).mean() > 0.8
+
+
+def test_helical_fused_matches_xla():
+    """Helical chains are constant-subspace 1-dof trees: the fused kernel
+    (interpret mode) must reproduce the XLA path exactly."""
+    from loik_tpu.kernels.fused import solve_fused
+
+    jt = [dict(name="h0", parent=-1, type=HELICAL, axis=(0, 0, 1),
+               pitch=0.15, velocity_limit=3.0),
+          dict(name="r1", parent=0, type=REVOLUTE, axis=(0, 1, 0),
+               xyz=(0.3, 0, 0), velocity_limit=3.0),
+          dict(name="h2", parent=1, type=HELICAL, axis=(1, 0, 0),
+               pitch=0.05, xyz=(0.3, 0, 0), velocity_limit=3.0)]
+    tree = make_tree(jt, name="screw_chain", dtype=jnp.float32)
+    # 3-D task on a 3-dof chain (a full 6-D task is generically infeasible)
+    A = np.zeros((1, 6, 6))
+    A[0, :3, :3] = np.eye(3)
+    b = np.zeros((1, 6))
+    b[0, 2] = 0.05
+    problem = make_problem(tree, (2,), A=A, b=b,
+                           lb=-3 * np.ones(tree.nv),
+                           ub=3 * np.ones(tree.nv), dtype=jnp.float32)
+    qs = tree.random_configuration(jax.random.PRNGKey(4), (16,)).astype(
+        jnp.float32)
+    params = SolverParams(max_iter=60, tol_abs=1e-4, tol_rel=1e-4)
+    r1 = solve(tree, params, qs, problem)
+    r2 = solve_fused(tree, params, qs, problem, batch_tile=16,
+                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1.nu), np.asarray(r2.nu))
+    np.testing.assert_array_equal(np.asarray(r1.converged),
+                                  np.asarray(r2.converged))
+    assert np.asarray(r1.converged).mean() > 0.5
 
 
 def test_fused_rejects_universal():

@@ -1,11 +1,11 @@
 """Mixed-topology super-batching (BASELINE configs[1]: UR5 + Panda batch).
 
 The padded path embeds each serial-chain robot into one common chain
-(identity joints with lb=ub=0 beyond each robot's real length) and solves
-the whole heterogeneous batch as ONE compiled program.  The embedding is
-exact at the optimum — identity joints transmit velocity unchanged and the
-locked dofs are zero — so each group's converged solution must match its
-own standalone solve to solver tolerance.
+(identity joints with ZERO motion subspaces beyond each robot's real
+length — structurally frozen) and solves the whole heterogeneous batch as
+ONE compiled program.  Frozen joints transmit velocity unchanged and never
+enter BoxProj/DualUpdate or the residual norms, so the padded program runs
+each group's exact standalone ADMM trajectory.
 """
 
 import jax
@@ -114,3 +114,31 @@ def test_mixed_padded_fused_matches_xla():
                                       np.asarray(rx.converged))
         np.testing.assert_allclose(np.asarray(rf.nu), np.asarray(rx.nu),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_prepare_mixed_padded_reuse():
+    """The prepared object must reproduce solve_mixed_padded exactly, and a
+    second solve on fresh configurations must reuse the assembly (same
+    chain/problem objects, no rebuild)."""
+    from loik_tpu.parallel import prepare_mixed_padded
+
+    groups = [_group("ur5", 6, 5, 0.12), _group("panda_arm", 7, 3, 0.08)]
+    mp = prepare_mixed_padded([(t, np.asarray(q).shape[0], p)
+                               for t, q, p in groups])
+    r_prep = mp.solve(PARAMS, [q for _, q, _ in groups])
+    r_wrap = solve_mixed_padded(groups, PARAMS)
+    for a, b in zip(r_prep, r_wrap):
+        np.testing.assert_array_equal(np.asarray(a.converged),
+                                      np.asarray(b.converged))
+        np.testing.assert_array_equal(np.asarray(a.nu), np.asarray(b.nu))
+    # tick 2: new configurations through the SAME prepared assembly
+    groups2 = [_group("ur5", 8, 5, 0.12), _group("panda_arm", 9, 3, 0.08)]
+    r2 = mp.solve(PARAMS, [q for _, q, _ in groups2])
+    assert r2[0].nu.shape == (5, groups[0][0].nv)
+    assert np.asarray(r2[0].converged).any() or np.asarray(
+        r2[1].converged).any()
+    # q packing round-trips group sizes and pads with zeros
+    qs = mp.pack_q([q for _, q, _ in groups2])
+    assert qs.shape == (8, mp.chain.njoints)
+    np.testing.assert_array_equal(
+        np.asarray(qs[:5, groups2[0][0].njoints:]), 0.0)
