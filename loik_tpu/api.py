@@ -29,10 +29,31 @@ from .solver.state import SolveResult, SolverState
 # One device program per tick: the tailored constraint update happens INSIDE
 # the jit so a tracking tick costs a single dispatch (+ the small b/A
 # transfer) instead of separate scatter dispatches per update — on a
-# remote-attached TPU each extra dispatch is a host round-trip
+# remote-attached TPU each extra dispatch is a host round-trip.  On TPU the
+# tick solve runs as the fused kernel when it can (the XLA tick is per-op-
+# dispatch bound: measured 8.5 ms at B=1024 vs sub-ms fused — the same
+# routing bench.measure_device_ticks uses for the 1 kHz evidence).
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _tracking_jit(tree, params, slot, q, problem, A, b, warm_state):
     problem = problem.update_constraint(slot, A=A, b=b)
+    fused = (
+        jax.default_backend() == "tpu"
+        and not params.logging
+        and q.dtype == jnp.float32
+        and not tree.has_q_dependent_S
+    )
+    if fused:
+        from .kernels.fused import _fused_body
+        from .solver.refine import default_batch_tile
+
+        bt = default_batch_tile(tree.njoints)
+        if q.shape[0] % bt == 0:
+            with jax.enable_x64(False):
+                return (
+                    _fused_body(params, bt, False, tree, q, problem,
+                                warm_state),
+                    problem,
+                )
     return _solve_impl(tree, params, q, problem, warm_state), problem
 
 
