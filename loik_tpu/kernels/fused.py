@@ -34,7 +34,7 @@ from ..problem import IkProblem
 from ..solver import solve as _solve_pkg_function  # noqa: F401 (api parity)
 from ..solver import solve
 from ..solver.solve import (_flat_nu, _reset_state, fwd_pass_init,
-                            make_phase_loops, prepare_problem)
+                            make_loop_body, prepare_problem)
 from ..solver.state import PreparedProblem, SolverState, SolveResult
 
 # state fields that the kernel carries (everything except liMi/log arrays)
@@ -108,10 +108,8 @@ def _kernel(tree, params, constraint_links, n_state, prob_fields, *refs):
     prob = PreparedProblem(constraint_links=constraint_links, **pvals)
 
     # Mosaic's while-loop lowering rejects the mixed-rank dataclass carry
-    # (1-D vectors, bools, 0-d scalars); run the SAME body under a carry of
-    # uniformly >=2-D arrays, re-encoding at the loop boundary.  The loop
-    # itself is the nested phase structure of `make_phase_loops` (the
-    # `_h_sweep` matrix recursion runs once per penalty epoch).
+    # (1-D vectors, bools, 0-d scalars); run the SAME `make_loop_body` under
+    # a carry of uniformly >=2-D arrays, re-encoding at the loop boundary.
     def enc_st(s2):
         out = []
         for name in _STATE_FIELDS:
@@ -143,10 +141,12 @@ def _kernel(tree, params, constraint_links, n_state, prob_fields, *refs):
         # squeeze; an integer max reduction stays 32-bit everywhere
         return jnp.max(carry[running_idx]) > 0
 
-    cond_k, body_k = make_phase_loops(
-        tree, prob, params, enc_st, dec_st, running_any
-    )
-    final = jax.lax.while_loop(cond_k, body_k, enc_st(st))
+    body_core = make_loop_body(tree, prob, params)
+
+    def body_k(carry):
+        return enc_st(body_core(dec_st(carry)))
+
+    final = jax.lax.while_loop(running_any, body_k, enc_st(st))
     st = dec_st(final)
 
     for name, ref in zip(_STATE_FIELDS, outs):
@@ -168,6 +168,11 @@ def fused_solve_loop(tree, params: SolverParams, prob: PreparedProblem,
 
     if params.logging:
         raise ValueError("fused path does not support logging")
+    if params.verbose:
+        raise ValueError(
+            "fused path does not support verbose console mode (host "
+            "callbacks cannot run inside a Mosaic kernel); use solver.solve"
+        )
     B = st.vis.shape[-1]
     bt = min(batch_tile, B)
     if B % bt:

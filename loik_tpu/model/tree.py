@@ -515,6 +515,48 @@ class KinematicTree:
 COMPOSITE = "composite"  # make_tree-level sugar, expanded before building
 
 
+def _mount_R_p(j):
+    """A joint dict's own placement as (R, p) numpy matrices."""
+    if "R" in j:
+        R = np.asarray(j["R"], np.float64)
+    else:
+        R = np.asarray(
+            spatial.rpy_to_rotmat(
+                jnp.asarray(j.get("rpy", (0.0, 0.0, 0.0)), jnp.float64)))
+    p = np.asarray(j.get("xyz", (0.0, 0.0, 0.0)), np.float64)
+    return R, p
+
+
+def _compose_mount(mount, target):
+    """Fold `mount`'s placement into `target`'s (target <- mount * target)."""
+    Rm, pm = _mount_R_p(mount)
+    Rs, ps = _mount_R_p(target)
+    for key in ("R", "rpy", "xyz"):
+        target.pop(key, None)
+    target["R"] = Rm @ Rs
+    target["xyz"] = tuple(pm + Rm @ ps)
+
+
+def _composite_subs(j):
+    """Recursively flatten a composite's `sub` list into plain joint dicts
+    (nested composites expand in place, their mount placements composed into
+    their own first sub)."""
+    subs = []
+    for k, sj in enumerate(j["sub"]):
+        sj = dict(sj)
+        sj.setdefault("name", f"{j['name']}/{k}")
+        if sj.get("type") == COMPOSITE:
+            if not sj.get("sub"):
+                raise ValueError(
+                    f"composite joint '{sj['name']}' has no subs")
+            inner = _composite_subs(sj)
+            _compose_mount(sj, inner[0])
+            subs.extend(inner)
+        else:
+            subs.append(sj)
+    return subs
+
+
 def expand_composites(joints):
     """Expand `type=COMPOSITE` joint dicts into their sub-joint chains.
 
@@ -522,34 +564,20 @@ def expand_composites(joints):
     one mount point: kinematically identical to a serial chain of the subs
     with identity placements between them, which is exactly how it expands
     here (the composite's own placement composes with the first sub's).
-    Children indices of later joints are remapped to the LAST sub-joint."""
+    Nested composites expand recursively.  Children indices of later joints
+    are remapped to the LAST sub-joint."""
     out = []
     last = {}  # original index -> expanded index of its last sub-joint
     for old_i, j in enumerate(joints):
         par = j["parent"]
         par_new = -1 if par < 0 else last[par]
         if j.get("type") == COMPOSITE:
-            subs = j["sub"]
-            if not subs:
+            if not j.get("sub"):
                 raise ValueError(f"composite joint '{j['name']}' has no subs")
+            subs = _composite_subs(j)
+            _compose_mount(j, subs[0])
             for k, sj in enumerate(subs):
-                sj = dict(sj)
-                sj.setdefault("name", f"{j['name']}/{k}")
                 sj["parent"] = par_new if k == 0 else len(out) - 1
-                if k == 0:
-                    # compose mount placement with the first sub's own
-                    Rm = np.asarray(
-                        spatial.rpy_to_rotmat(
-                            jnp.asarray(j.get("rpy", (0.0, 0.0, 0.0)),
-                                        jnp.float64)))
-                    pm = np.asarray(j.get("xyz", (0.0, 0.0, 0.0)), np.float64)
-                    Rs = np.asarray(
-                        spatial.rpy_to_rotmat(
-                            jnp.asarray(sj.pop("rpy", (0.0, 0.0, 0.0)),
-                                        jnp.float64)))
-                    ps = np.asarray(sj.pop("xyz", (0.0, 0.0, 0.0)), np.float64)
-                    sj["R"] = Rm @ Rs
-                    sj["xyz"] = tuple(pm + Rm @ ps)
                 out.append(sj)
             last[old_i] = len(out) - 1
         else:

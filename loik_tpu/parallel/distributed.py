@@ -47,17 +47,8 @@ def initialize(coordinator_address: Optional[str] = None,
     if _initialized:
         return
     # NB: must not touch the backend (jax.devices/process_count) before
-    # jax.distributed.initialize.  Probe for an already-running service via
-    # the private handle when available (best-effort; the API moves across
-    # JAX releases), else rely on initialize() raising on double-init.
-    try:
-        from jax._src import distributed as _jax_dist
-
-        if getattr(_jax_dist.global_state, "client", None) is not None:
-            _initialized = True
-            return
-    except Exception:
-        pass
+    # jax.distributed.initialize; double-init is detected by initialize()
+    # itself raising, handled below.
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address

@@ -13,17 +13,8 @@ Shapes: R (..., 3, 3, B), p (..., 3, B), motions/forces (..., 6, B),
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
-
-# experiment toggle (read once at import): use the symmetric block form of
-# act_sym6 for f32 too.  Measured on v5e flagship (see ROADMAP): the dense
-# two-product form is the default because the fused kernel is VPU-issue
-# bound and the block form's many small-tile ops issue WORSE than two
-# full-height 6x6 products unless measurement says otherwise.
-_SYM6_F32_BLOCK = os.environ.get("LOIK_SYM6_F32_BLOCK", "0") == "1"
 
 LIN = slice(0, 3)
 ANG = slice(3, 6)
@@ -171,14 +162,16 @@ def act_sym6(R, p, H):
     Two implementations with identical math:
 
     - f32 (the fused-kernel / VPU-issue-bound path): two dense 6x6 products
-      on full-height tiles — fewest vector instructions.
+      on full-height tiles — fewest vector instructions (the block form was
+      measured WORSE for f32 on v5e: its many small-tile ops issue worse
+      than two full-height products; see ROADMAP round-3 measurements).
     - f64 (the XLA refinement stage, where emulated-f64 FLOPs dominate):
       block form exploiting X* = [[R,0],[[p]x R, R]] and the symmetry of H —
       six 3x3 rotations + three skew products, ~2.1x fewer multiplies, and
       the bottom-left block is the mirrored top-right (SE3actOn's own
       symmetric-triangle trick, loik-loid-optimized.hxx:66).
     """
-    if H.dtype != jnp.float64 and not _SYM6_F32_BLOCK:
+    if H.dtype != jnp.float64:
         Xd = dual_action_matrix(R, p)
         return mmt(mm(Xd, H), Xd)
     A = H[..., LIN, LIN, :]

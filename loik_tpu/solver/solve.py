@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -138,11 +137,12 @@ def _h_sweep(tree, prob: PreparedProblem, params: SolverParams,
              st: SolverState, S):
     """The mu-dependent half of the backward Riccati sweep: accumulated His,
     U = H S, D^-1 and U D^-1 per joint (calc_aba quantities,
-    loik-loid-optimized.hxx:21-83).  These depend ONLY on (mu_eq, mu_ineq)
-    and the iteration-constant geometry — not on the duals or p — so the
-    fused kernel recomputes them once per penalty epoch instead of once per
-    iteration (`make_phase_loops`); the plain path computes them inline every
-    iteration, with identical values either way."""
+    loik-loid-optimized.hxx:21-83).  Depends only on (mu_eq, mu_ineq) and the
+    iteration-constant geometry — not on the duals or p.  (A penalty-epoch
+    cache of these quantities was built and measured in round 3: neutral on
+    flagship, -10% on solo12, VMEM OOM on talos — the kernel is VPU-issue
+    bound, so the removed FMAs were pipelining behind the many small ops.
+    Recorded in ROADMAP; the scaffolding was removed in round 4.)"""
     N = tree.njoints
     dtype = st.vis.dtype
     nvs, parents = tree.nvs, tree.parents
@@ -181,13 +181,9 @@ def _h_sweep(tree, prob: PreparedProblem, params: SolverParams,
 
 
 def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverState,
-               debug: bool = False, h_cache=None):
+               debug: bool = False):
     """Compute one ADMM iteration for every problem in the batch; returns the
     pieces needed for flag/penalty updates.  Pure function of the state.
-
-    h_cache, when given, supplies the `_h_sweep` quantities (computed this
-    iteration or reused from a previous one — identical values either way,
-    see `_h_sweep`).
 
     debug=True additionally returns every per-pass intermediate (post-FwdPass1
     H/p, post-BwdPass accumulated H/p/Dinv/r_tot, FwdPass2 outputs, dual-
@@ -243,12 +239,10 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
 
     # ---------------- BwdPass: backward Riccati sweep ---------------------
     # (loik-loid.hxx:82-113 semantics via the calc_aba form,
-    #  loik-loid-optimized.hxx:21-83).  Matrix recursion from `_h_sweep`
-    # (cached across iterations in the fused kernel); the p/r recursion
-    # interleaves with it in the reference — split here, same order/values.
-    if h_cache is None:
-        h_cache = _h_sweep(tree, prob, params, st, S)
-    H_list, U, Dinv, UDinv = h_cache
+    #  loik-loid-optimized.hxx:21-83).  Matrix recursion in `_h_sweep`; the
+    # p/r recursion interleaves with it in the reference — split here, same
+    # order/values.
+    H_list, U, Dinv, UDinv = _h_sweep(tree, prob, params, st, S)
     r_tot = [None] * N
     for i in reversed(range(N)):
         k = nvs[i]
@@ -474,26 +468,16 @@ def loop_cond(st: SolverState):
 
 def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
     """One ADMM iteration + flag/penalty transitions as a pure
-    SolverState -> SolverState function (the XLA while-loop body; the fused
-    Pallas kernel wraps `_make_body_core` in its own cached-carry encoding)."""
-    core = _make_body_core(tree, prob, params)
-
-    def body(st: SolverState) -> SolverState:
-        st2, _ = core(st, None)
-        return st2
-
-    return body
-
-
-def _make_body_core(tree, prob: PreparedProblem, params: SolverParams):
-    """(state, h_cache) -> (state', mu_changed): the shared iteration + flag
-    transition logic.  ``mu_changed`` (scalar bool) reports whether any
-    problem's penalty changed — the staleness signal for the `_h_sweep`
-    cache."""
+    SolverState -> SolverState function.  BOTH loop drivers run THIS body —
+    the XLA `lax.while_loop` directly on the SolverState carry, the fused
+    Pallas kernel through its uniform->=2-D carry codec — so their compiled
+    graphs stay shape-congruent (differently-structured graphs make XLA's
+    fusion choices fp-diverge, breaking the bit-exact fused-vs-XLA drop-in
+    contract observed under the 8-virtual-device test env)."""
 
     max_iter = params.max_iter
 
-    def body(st: SolverState, h_cache):
+    def body(st: SolverState) -> SolverState:
         dtype = st.mu.dtype
         ten = jnp.asarray(10.0, dtype)
         tenth = jnp.asarray(0.1, dtype)
@@ -501,7 +485,7 @@ def _make_body_core(tree, prob: PreparedProblem, params: SolverParams):
         eq_scale = jnp.asarray(params.mu_equality_scale_factor, dtype)
         i = st.it + 1
         active = st.running                      # (B,)
-        new, checks = _iteration(tree, prob, params, st, h_cache=h_cache)
+        new, checks = _iteration(tree, prob, params, st)
 
         # --- flag transitions -------------------------------------------
         # normal-mode problems: convergence first, then feasibility (iter>1),
@@ -606,109 +590,31 @@ def _make_body_core(tree, prob: PreparedProblem, params: SolverParams):
             )
             updates["log_dx"] = logset(st.log_dx, new["delta_x_inf"])
             updates["log_dz"] = logset(st.log_dz, new["delta_z_inf"])
-        # i32 max instead of bool any: Mosaic lowers reduce_or through a
-        # float proxy that becomes f64 under x64 and fails the scalar squeeze
-        mu_changed = jnp.max((mu_next != st.mu).astype(jnp.int32)) > 0
-        return dataclasses.replace(st, **updates), mu_changed
+        if params.verbose:
+            # iteration banner (the reference's verbose_ stream prints one
+            # per iteration, loik-loid.hpp:501-506; batched -> aggregates).
+            # Worst residual over still-active problems; frozen ones excluded.
+            zero = jnp.asarray(0.0, dtype)
+            jax.debug.print(
+                "[loik] iter {i}: primal res {rp:.3e}, dual res {rd:.3e}, "
+                "running {n}",
+                i=i,
+                rp=jnp.max(jnp.where(active, new["primal_residual"], zero)),
+                rd=jnp.max(jnp.where(active, new["dual_residual"], zero)),
+                n=jnp.sum(running_next.astype(jnp.int32)),
+            )
+        return dataclasses.replace(st, **updates)
 
     return body
-
-
-def use_phase_loops(tree) -> bool:
-    """Static choice of loop structure, from the tree alone so the XLA loop
-    and the fused kernel always agree (different structures compile to
-    fp-divergent graphs, breaking the bit-exact drop-in contract).
-
-    DEFAULT OFF — measured on v5e (delta mode, tol 1e-6): flagship 385k/s
-    either way, solo12 304k/s with phases vs 337k/s without, talos OOMs
-    VMEM (+2.4 MB live `_h_sweep` arrays at tile 128, limit 16 MB).  The
-    ~50% skippable H-recursions the CPU trace predicted do not translate to
-    wall time: the kernel is VPU-issue-bound on its MANY small ops, and the
-    big sweep FMAs the cache removes were pipelining behind them.  Kept
-    behind LOIK_PHASE_LOOPS=1 for re-measurement on other hardware, with a
-    VMEM-footprint gate at the tree's default kernel tile."""
-    if os.environ.get("LOIK_PHASE_LOOPS", "0") != "1":
-        return False
-    N, K = tree.njoints, tree.nv_max
-    bt = 256 if N * 256 <= 2048 else 128  # refine.default_batch_tile
-    h_bytes = N * (36 + 12 * K + K * K) * bt * 4
-    return h_bytes <= 1_200_000
-
-
-def make_phase_loops(tree, prob: PreparedProblem, params: SolverParams,
-                     enc_st, dec_st, running_any):
-    """The solve loop as TWO nested while loops: the outer "phase" loop
-    recomputes the `_h_sweep` quantities (unconditionally — its body runs
-    exactly once per penalty epoch), and the inner loop iterates with that H
-    frozen until a penalty update invalidates it or the batch finishes.
-    Trajectories are identical to the single-loop form — every iteration
-    consumes an H consistent with its (mu_eq, mu_ineq) — but the sweep's
-    matrix recursion (~40% of the per-iteration arithmetic: act_sym6, H S,
-    SPD inverses) runs once per epoch instead of once per iteration.
-    Measured on the flagship workload: >50% of executed (tile, iteration)
-    pairs fall inside an epoch, concentrated in the straggler tail the
-    masked loop waits on.
-
-    Expressed as nested `lax.while_loop`s rather than a `lax.cond` cache:
-    Mosaic turns the cond's branches into a scalar-predicated vector
-    `arith.select` it cannot legalize (both branches computed, then select).
-
-    The carry is a TUPLE: `enc_st`/`dec_st` translate between it and
-    SolverState (the fused kernel needs uniformly >=2-D arrays; the XLA path
-    uses the 1-tuple `(state,)`), and `running_any(carry) -> scalar bool`
-    reads the termination mask from it.  Both the XLA loop and the fused
-    kernel run THIS structure, so their compiled graphs stay
-    shape-congruent — with differently-structured graphs, XLA's per-graph
-    fusion/partitioning choices produce small fp divergences that break the
-    bit-exact fused-vs-XLA drop-in contract (observed under the 8-virtual-
-    device test env)."""
-    core = _make_body_core(tree, prob, params)
-
-    if not use_phase_loops(tree):
-        # large trees: the live H cache would blow the fused kernel's VMEM
-        # budget (talos at tile 128: +2.4 MB on a ~16 MB limit, measured
-        # OOM); run the classic single loop with the sweep inline
-        def body_single(carry):
-            st2, _ = core(dec_st(carry), None)
-            return enc_st(st2)
-
-        return running_any, body_single
-
-    def body_outer(carry):
-        st = dec_st(carry)
-        B = st.vis.shape[-1]
-        S = _S_lists(tree, prob, B, st.vis.dtype)
-        h = _h_sweep(tree, prob, params, st, S)
-
-        def cond_inner(c2):
-            return running_any(c2[:-1]) & (c2[-1][0, 0] == 0)
-
-        def body_inner(c2):
-            st2, mu_changed = core(dec_st(c2[:-1]), h)
-            flag = jnp.reshape(mu_changed.astype(jnp.int32), (1, 1))
-            return enc_st(st2) + (flag,)
-
-        c2 = jax.lax.while_loop(
-            cond_inner, body_inner,
-            tuple(carry) + (jnp.zeros((1, 1), jnp.int32),)
-        )
-        return c2[:-1]
-
-    return running_any, body_outer
 
 
 def _solve_loop(tree, prob: PreparedProblem, params: SolverParams, st: SolverState):
     """Run the ADMM main loop + per-problem infeasibility tail solves with
     masked termination (Solve, loik-loid-optimized.hpp:368-455 +
-    InfeasibilityTailSolve :266-319), in the nested penalty-epoch structure
-    of `make_phase_loops` (same structure as the fused kernel)."""
-    cond, body = make_phase_loops(
-        tree, prob, params,
-        lambda s: (s,), lambda c: c[0],
-        lambda c: jnp.any(c[0].running),
-    )
-    final = jax.lax.while_loop(cond, body, (st,))
-    return final[0]
+    InfeasibilityTailSolve :266-319) — one `lax.while_loop` over the shared
+    `make_loop_body` (the same body the fused kernel compiles on-chip)."""
+    body = make_loop_body(tree, prob, params)
+    return jax.lax.while_loop(loop_cond, body, st)
 
 
 # --------------------------------------------------------------------------- #
@@ -836,6 +742,33 @@ def _solve_impl_inner(tree, params: SolverParams, q, problem: IkProblem,
     st = _reset_state(tree, params, st, dtype)
     st = dataclasses.replace(st, liMi_R=liMi_R, liMi_p=liMi_p)
     st = _solve_loop(tree, prob, params, st)
+
+    if params.verbose:
+        # terminal notices (verbose_ convergence message + warnings,
+        # loik-loid.hxx:320 converged / :345 infeasible / :362 max-iter)
+        n_conv = jnp.sum(st.converged.astype(jnp.int32))
+        n_pinf = jnp.sum(st.primal_infeasible.astype(jnp.int32))
+        n_unconv = jnp.sum(
+            (~st.converged & ~st.primal_infeasible).astype(jnp.int32)
+        )
+        jax.debug.print(
+            "[loik] solve finished: {c} converged, max iterations {mi}",
+            c=n_conv, mi=jnp.max(st.iterations),
+        )
+        jax.lax.cond(
+            n_pinf > 0,
+            lambda n: jax.debug.print(
+                "[loik] WARNING: {n} problem(s) certified primal infeasible",
+                n=n),
+            lambda n: None, n_pinf,
+        )
+        jax.lax.cond(
+            n_unconv > 0,
+            lambda n: jax.debug.print(
+                "[loik] WARNING: {n} problem(s) hit max_iter without "
+                "converging", n=n),
+            lambda n: None, n_unconv,
+        )
 
     vis_out = jnp.moveaxis(st.vis, -1, 0)  # (B,N,6)
     return SolveResult(
