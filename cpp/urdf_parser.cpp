@@ -257,6 +257,18 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
         } else if (ch.tag == "limit") {
           auto it = ch.attrs.find("velocity");
           if (it != ch.attrs.end()) j.vel_limit = std::strtod(it->second.c_str(), nullptr);
+        } else if (ch.tag == "mimic") {
+          // q = k * q_master + o couplings cannot be expressed by the
+          // solver's per-joint decision variables; loading one as an
+          // independent dof silently solves the wrong problem.  Reject,
+          // mirroring the Python loader (tested in test_native.py).
+          auto it = ch.attrs.find("joint");
+          res.error = "joint '" + j.name + "' mimics '" +
+                      (it != ch.attrs.end() ? it->second : "?") +
+                      "': <mimic> couplings are not supported; remove the "
+                      "mimic joint (e.g. fix grippers at a constant opening)";
+          res.joints.clear();
+          return res;
         }
       }
       jdefs.push_back(std::move(j));

@@ -66,6 +66,22 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
     joints = []
     child_of: Dict[str, dict] = {}
     for j in root.findall("joint"):
+        mim = j.find("mimic")
+        if mim is not None:
+            # A <mimic joint=... multiplier=... offset=...> couples this
+            # joint's dof to its master's (q = k q_master + o) — most
+            # commercial gripper URDFs carry one.  Treating it as an
+            # independent actuated dof would silently solve the WRONG
+            # problem (the solver's per-joint decision variables cannot
+            # express the cross-joint coupling), so reject loudly.
+            raise ValueError(
+                f"joint '{j.get('name')}' mimics "
+                f"'{mim.get('joint')}': <mimic> couplings are not supported "
+                "(the per-joint solver variables cannot express nu_mimic = "
+                "k * nu_master); remove the mimic joint from the URDF (e.g. "
+                "fix grippers at a constant opening) or model the pair "
+                "explicitly"
+            )
         jd = {
             "name": j.get("name"),
             "type": j.get("type"),
