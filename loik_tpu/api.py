@@ -39,6 +39,7 @@ def _tracking_jit(tree, params, slot, q, problem, A, b, warm_state):
     fused = (
         jax.default_backend() == "tpu"
         and not params.logging
+        and not params.verbose
         and q.dtype == jnp.float32
         and not tree.has_q_dependent_S
     )
@@ -190,6 +191,45 @@ class DiffIkSolver:
         self._state = res.state
         self.last_result = res
         return res
+
+    def track_scan(self, q, b_seq, link: Optional[int] = None, A_seq=None):
+        """Run a horizon of tracking ticks as ONE device program.
+
+        The device-resident form of `solve_tracking`: `b_seq[t]` (and
+        optionally `A_seq[t]`) retargets the constraint at `link` each tick
+        and the re-solve warm-starts from the previous tick's duals, all
+        inside one jitted `lax.scan` — zero host round-trips between ticks
+        (the 1 kHz capability; reference tailored overload
+        loik-loid-optimized.hpp:596-695).  `q` is (B, nq) held fixed or
+        (T, B, nq) per tick.  Returns a `StreamResult` with per-tick
+        (T, B, ...) outputs; the final tick's state/targets become the
+        solver's warm state and constraint values, so per-tick
+        `solve_tracking` calls and further streams continue seamlessly."""
+        from .solver.stream import solve_stream
+
+        if link is None:
+            if len(self.constraint_links) != 1:
+                raise ValueError(
+                    "multiple constraints; pass link= explicitly")
+            link = self.constraint_links[0]
+        if link not in self.constraint_links:
+            raise ValueError(f"no constraint at link {link}")
+        slot = self.constraint_links.index(link)
+        q = jnp.asarray(q)
+        if q.ndim == 1:
+            q = q[None]
+        stream = solve_stream(
+            self.tree, self.params, q, self.problem, slot,
+            b_seq, A_seq=A_seq,
+            warm_state=self._state if self.params.warm_start else None,
+        )
+        self._state = stream.state
+        self.problem = self.problem.update_constraint(
+            slot,
+            A=None if A_seq is None else jnp.asarray(A_seq)[-1],
+            b=jnp.asarray(b_seq)[-1],
+        )
+        return stream
 
     # ------------------------------------------------------------------ #
     # getter parity (task-solver-base.hpp:87-141)

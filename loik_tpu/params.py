@@ -42,6 +42,16 @@ class SolverParams:
                                          # task-solver-base.hpp:82; used by the
                                          # delta-refinement stage)
     logging: bool = False                 # return per-iteration SolveInfo arrays
+    verbose: bool = False                # host-visible console mode: print an
+                                         # iteration banner + convergence /
+                                         # infeasibility warnings via
+                                         # jax.debug.print (the reference's
+                                         # verbose_ stream, loik-loid.hpp:
+                                         # 501-506, loik-loid.hxx:320,345,362;
+                                         # batched here, so the banner reports
+                                         # batch aggregates).  XLA path only —
+                                         # like logging, unsupported in the
+                                         # fused kernel.
     check_feasibility: bool = True       # run infeasibility certificates; the
                                          # delta-refinement stage disables them
                                          # (degenerate in delta space)

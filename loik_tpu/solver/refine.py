@@ -236,6 +236,7 @@ def solve_delta_duals(
         fused = (
             jax.default_backend() == "tpu"
             and not params.logging
+            and not params.verbose
             and q.shape[0] % batch_tile == 0
         )
     tol1 = max(stage1_tol, params.tol_abs)
@@ -441,6 +442,7 @@ def solve_two_stage(
         fused_stage1 = (
             jax.default_backend() == "tpu"
             and not params.logging
+            and not params.verbose
             and q.shape[0] % batch_tile == 0
             and not tree.has_q_dependent_S  # no universal joints in-kernel
         )

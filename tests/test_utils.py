@@ -55,3 +55,55 @@ def test_checkpoint_roundtrip(tmp_path):
         tree, PARAMS.replace(warm_start=True), tree.neutral(), problem, restored
     )
     assert int(warm.iterations[0]) <= int(res.iterations[0])
+
+
+def test_verbose_console_mode(capfd):
+    """params.verbose streams an iteration banner + terminal notices to the
+    host console (the reference's verbose_ mode, loik-loid.hpp:501-506,
+    loik-loid.hxx:320/345/362 — batched, so lines report batch aggregates)."""
+    tree = robots.ur5()
+    b = np.zeros((1, 6))
+    b[0, 2] = 0.1
+    problem = make_problem(tree, (tree.njoints - 1,), b=b,
+                           lb=-2 * np.ones(tree.nv), ub=2 * np.ones(tree.nv))
+    params = SolverParams(max_iter=40, tol_abs=1e-6, tol_rel=1e-6,
+                          verbose=True)
+    q = tree.random_configuration(jax.random.PRNGKey(0), (4,))
+    res = solve(tree, params, q, problem)
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "[loik] iter 1:" in out
+    assert "primal res" in out and "dual res" in out
+    assert "[loik] solve finished:" in out
+
+
+def test_verbose_infeasibility_warning(capfd):
+    """An infeasible batch (empty box) triggers the WARNING line."""
+    tree = robots.ur5()
+    b = np.zeros((1, 6))
+    b[0, 2] = 1.0  # commanded EE velocity with all joints pinned to zero
+    problem = make_problem(tree, (tree.njoints - 1,), b=b,
+                           lb=np.zeros(tree.nv), ub=np.zeros(tree.nv))
+    params = SolverParams(max_iter=60, tol_abs=1e-6, tol_rel=1e-6,
+                          verbose=True, tail_solve=False)
+    q = tree.random_configuration(jax.random.PRNGKey(1), (2,))
+    res = solve(tree, params, q, problem)
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert bool(np.asarray(res.primal_infeasible).any())
+    assert "WARNING" in out and "infeasible" in out
+
+
+def test_verbose_rejected_by_fused_kernel():
+    from loik_tpu.kernels.fused import solve_fused
+
+    tree = robots.get("ur5", "float32")
+    b = np.zeros((1, 6))
+    problem = make_problem(tree, (tree.njoints - 1,), b=b,
+                           lb=-2 * np.ones(tree.nv), ub=2 * np.ones(tree.nv),
+                           dtype=jnp.float32)
+    params = SolverParams(verbose=True)
+    q = tree.random_configuration(jax.random.PRNGKey(0), (4,)).astype(
+        jnp.float32)
+    with pytest.raises(ValueError, match="verbose"):
+        solve_fused(tree, params, q, problem, interpret=True)
