@@ -1,9 +1,12 @@
-"""1 kHz-style trajectory tracking: the tailored per-tick solve.
+"""1 kHz-style trajectory tracking: the tailored per-tick solve, two ways.
 
 The reference's control-loop entry point `Solve(q, c_id, Ai, bi)`
 (loik-loid-optimized.hpp:596-695) updates ONE equality constraint per tick
 and warm-starts duals from the previous tick.  Here: track a vertical
-sinusoid with the Panda EE, integrating q with the solved velocities.
+sinusoid with the Panda EE, (1) per-tick `solve_tracking` with host-side q
+integration — the sensor-in-the-loop pattern — and (2) `track_scan`, which
+runs a whole horizon of ticks as ONE device program (zero host round-trips
+between ticks; the 1 kHz-budget path the bench measures).
 
 Run:  python examples/02_tracking_loop.py
 """
@@ -38,3 +41,14 @@ for t in range(ticks):
 print(f"ticks={ticks}  iterations/tick: first={iters[0]} "
       f"warm mean={np.mean(iters[1:]):.1f} max={max(iters[1:])}")
 print("final q =", np.asarray(q[0]).round(3))
+
+# ---- device-resident horizon: the same targets as ONE scanned program ----
+# (a controller that can stage its targets — trajectory replay, MPC rollout —
+# pays the host round-trip once per horizon instead of once per tick)
+T = 100
+b_seq = np.zeros((T, 6), np.float32)
+b_seq[:, 2] = 0.1 * np.cos(2 * np.pi * 1.0 * np.arange(T) * dt)
+stream = solver.track_scan(q, b_seq)         # warm state threads on-device
+print(f"track_scan: {T} ticks in one dispatch, warm iters "
+      f"mean={np.asarray(stream.iterations).mean():.1f}, "
+      f"converged={np.asarray(stream.converged).mean():.3f}")

@@ -26,5 +26,6 @@ from .solver import solve
 from .solver.refine import (solve_delta_duals, solve_delta_refined,
                             solve_two_stage)
 from .solver.state import SolveResult, SolverState
+from .solver.stream import StreamResult, solve_stream
 
 __version__ = "0.1.0"

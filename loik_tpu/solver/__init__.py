@@ -1,12 +1,15 @@
 from .solve import fwd_pass_init, prepare_problem, solve
 from .state import PreparedProblem, SolverState, SolveResult, init_state
+from .stream import StreamResult, solve_stream
 
 __all__ = [
     "solve",
+    "solve_stream",
     "prepare_problem",
     "fwd_pass_init",
     "SolverState",
     "SolveResult",
+    "StreamResult",
     "PreparedProblem",
     "init_state",
 ]
