@@ -238,8 +238,30 @@ def run_mixed(args):
         [(lambda qb=qb: run(qb)) for qb in q_batches[:R]],
         lambda rss: sum(int(np.asarray(x.converged).sum()) for x in rss),
     )
+
+    # device-side rate: R staged reps inside ONE scanned program
+    # (MixedPadded.solve_scan) — zero host round-trips between reps, so at
+    # small B this separates the chip rate from the tunnel dispatch floor
+    # (VERDICT r3 next step 3)
+    qs_stacked = [
+        np.stack([qb[g] for qb in q_batches[:R]])
+        for g in range(len(groups_proto))
+    ]
+    ys = mp.solve_scan(params, qs_stacked, solve_fn=solve_fn)
+    jax.block_until_ready(ys)
+    t0 = time.perf_counter()
+    ys = mp.solve_scan(params, qs_stacked, solve_fn=solve_fn)
+    jax.block_until_ready(ys)
+    dev_s = time.perf_counter() - t0
+    conv_dev = int(np.asarray(ys[1]).sum())
+    extra_fields = {
+        "device_ms_per_batch": round(dev_s / R * 1e3, 3),
+        "device_value": round(conv_dev / dev_s, 1),
+    }
+
     emit(args, "mixed ur5+panda super-batch", lat, B, R, total_converged,
-         t_all, mp.unpack(res)[-1], pipelined=pipe)
+         t_all, mp.unpack(res)[-1], pipelined=pipe,
+         extra_fields=extra_fields)
 
 
 def run_multistart(args):
@@ -321,7 +343,7 @@ def measure_pipelined(thunks, count_converged):
 def emit(args, label, lat, B, R, total_converged, t_all, res,
          unit="solves/s", count_all=False,
          metric="converged diff-IK solves/s/chip (%s, tol %g, %s)",
-         pipelined=None):
+         pipelined=None, extra_fields=None):
     import jax
 
     # throughput = PIPELINED sustained rate (see measure_pipelined); latency
@@ -343,6 +365,8 @@ def emit(args, label, lat, B, R, total_converged, t_all, res,
             "pipelined_ms_per_batch": round(t_pipe / R * 1e3, 3),
             "sync_p50_value": round(counted / (p50_ms / 1e3), 1),
         }
+    if extra_fields:
+        extra.update(extra_fields)
 
     if args.verbose:
         it = np.asarray(res.iterations)

@@ -16,7 +16,6 @@ from loik_tpu.model import robots
 from loik_tpu.params import SolverParams
 from loik_tpu.problem import make_problem
 from loik_tpu.parallel import solve_mixed, solve_mixed_padded
-from loik_tpu.solver import solve
 
 PARAMS = SolverParams(max_iter=300, tol_abs=1e-8, tol_rel=1e-8)
 
@@ -142,3 +141,28 @@ def test_prepare_mixed_padded_reuse():
     assert qs.shape == (8, mp.chain.njoints)
     np.testing.assert_array_equal(
         np.asarray(qs[:5, groups2[0][0].njoints:]), 0.0)
+
+
+def test_mixed_solve_scan_matches_solve_packed():
+    """R staged reps in one scanned program == R solve_packed dispatches
+    (the device-rate measurement path; packing runs inside the jit)."""
+    from loik_tpu.parallel import prepare_mixed_padded
+
+    groups = [_group("ur5", 0, 4, 0.1), _group("panda_arm", 1, 4, 0.1)]
+    mp = prepare_mixed_padded([(t, 4, p) for t, q, p in groups])
+    R = 3
+    keys = jax.random.split(jax.random.PRNGKey(7), R * 2).reshape(R, 2, -1)
+    qs_reps = [
+        [t.random_configuration(k, (4,)) for (t, _, _), k in zip(groups, kk)]
+        for kk in keys
+    ]
+    qs_stacked = [np.stack([qs[g] for qs in qs_reps]) for g in range(2)]
+
+    nu, conv, iters, rp, rd = mp.solve_scan(PARAMS, qs_stacked)
+    for r in range(R):
+        res = mp.solve_packed(PARAMS, qs_reps[r])
+        np.testing.assert_allclose(np.asarray(nu[r]), np.asarray(res.nu),
+                                   rtol=1e-12, atol=1e-12)
+        assert np.array_equal(np.asarray(conv[r]), np.asarray(res.converged))
+        assert np.array_equal(np.asarray(iters[r]),
+                              np.asarray(res.iterations))
