@@ -27,12 +27,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..params import SolverParams
 from ..problem import IkProblem
 from ..solver import solve as _solve_pkg_function  # noqa: F401 (api parity)
-from ..solver import solve
 from ..solver.solve import (_flat_nu, _reset_state, fwd_pass_init,
                             make_loop_body, prepare_problem)
 from ..solver.state import PreparedProblem, SolverState, SolveResult
@@ -80,6 +78,7 @@ def _kernel(tree, params, constraint_links, n_state, prob_fields, *refs):
         axis=axis_ref[:],
         velocity_limit=jnp.zeros((tree.nv,), axis_ref.dtype),
         axis2=None,  # q-dependent joints are rejected before the kernel
+        placement2_R=None, placement2_p=None,  # (mimic pairs likewise)
     )
 
     # keep every per-problem scalar as (1, BT) — bools decoded from i32 but

@@ -60,13 +60,49 @@ SPHERICAL_ZYX = 9        # ball joint on the Euler Z-Y-X chart (pinocchio
                          # JointModelSphericalZYX): nq = nv = 3 Euler-angle
                          # RATES, vector-space integration, configuration-
                          # dependent motion subspace (like UNIVERSAL)
+MIMIC_PAIR = 10          # a serial master->mimic pair (URDF <mimic>:
+                         # q_mimic = mult*q_master + offset) merged into ONE
+                         # 1-dof joint: FK composes master transform, inner
+                         # placement, and mimic transform; the motion
+                         # subspace S(q) = Ad^-1_{X2 M2(q2)} S_master +
+                         # mult*S_mimic is configuration-dependent (like
+                         # UNIVERSAL).  (master_type, mimic_type, mult,
+                         # offset) live in the static `mimic` aux tuple; the
+                         # inner placement is the placement2_R/p leaves.
+                         # This is the reduction path for adjacent-mimic
+                         # chains (coupled finger phalanges etc.); non-serial
+                         # mimics stay rejected by the loaders.
 
 JOINT_NV = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 6, SPHERICAL: 3,
             REVOLUTE_UNBOUNDED: 1, TRANSLATION: 3, PLANAR: 3, UNIVERSAL: 2,
-            HELICAL: 1, SPHERICAL_ZYX: 3}
+            HELICAL: 1, SPHERICAL_ZYX: 3, MIMIC_PAIR: 1}
 JOINT_NQ = {REVOLUTE: 1, PRISMATIC: 1, FREE_FLYER: 7, SPHERICAL: 4,
             REVOLUTE_UNBOUNDED: 2, TRANSLATION: 3, PLANAR: 4, UNIVERSAL: 2,
-            HELICAL: 1, SPHERICAL_ZYX: 3}
+            HELICAL: 1, SPHERICAL_ZYX: 3, MIMIC_PAIR: 1}
+
+
+def _calc_1dof(t, axis, ang, dtype):
+    """(R, p) displacement of a 1-dof revolute/prismatic joint at angle/
+    offset ``ang`` (leading batch dims supported)."""
+    if t == REVOLUTE:
+        R = spatial.rotation_about_axis(
+            jnp.broadcast_to(axis, ang.shape + (3,)), ang
+        )
+        return R, jnp.zeros(ang.shape + (3,), dtype)
+    if t == PRISMATIC:
+        R = jnp.broadcast_to(jnp.eye(3, dtype=dtype), ang.shape + (3, 3))
+        return R, ang[..., None] * axis
+    raise ValueError(f"mimic pairs support revolute/prismatic members; got {t}")
+
+
+def _twist_1dof(t, axis, dtype):
+    """(linear, angular) parts of a 1-dof joint's unit twist."""
+    zero = jnp.zeros((3,), dtype)
+    if t == REVOLUTE:
+        return zero, jnp.asarray(axis, dtype)
+    if t == PRISMATIC:
+        return jnp.asarray(axis, dtype), zero
+    raise ValueError(f"mimic pairs support revolute/prismatic members; got {t}")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -91,21 +127,30 @@ class KinematicTree:
     axis2: object = None          # (N, 3) array leaf or None
     # helical pitch per joint (STATIC — see HELICAL above); None = all zero
     pitches: object = None        # Tuple[float, ...] or None
+    # mimic-pair metadata (STATIC, like pitches): per-joint None or
+    # (master_type, mimic_type, multiplier, offset); None = no mimic pairs
+    mimic: object = None          # Tuple[Optional[Tuple], ...] or None
+    # inner placement between a mimic pair's master and mimic joints
+    # (array leaves; None when no joint uses them)
+    placement2_R: object = None   # (N, 3, 3) or None
+    placement2_p: object = None   # (N, 3) or None
 
     # ------------------------------------------------------------------ #
     # pytree plumbing
     # ------------------------------------------------------------------ #
     def tree_flatten(self):
         leaves = (self.placement_R, self.placement_p, self.axis,
-                  self.velocity_limit, self.axis2)
+                  self.velocity_limit, self.axis2,
+                  self.placement2_R, self.placement2_p)
         aux = (self.parents, self.jtypes, self.idx_v, self.idx_q,
-               self.joint_names, self.name, self.pitches)
+               self.joint_names, self.name, self.pitches, self.mimic)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        pR, pp, ax, vl, ax2 = leaves
-        return cls(pR, pp, ax, vl, *aux[:-1], axis2=ax2, pitches=aux[-1])
+        pR, pp, ax, vl, ax2, p2R, p2p = leaves
+        return cls(pR, pp, ax, vl, *aux[:-2], axis2=ax2, pitches=aux[-2],
+                   mimic=aux[-1], placement2_R=p2R, placement2_p=p2p)
 
     # ------------------------------------------------------------------ #
     # static derived properties
@@ -174,9 +219,12 @@ class KinematicTree:
     @property
     def has_q_dependent_S(self) -> bool:
         """True when any joint's motion subspace depends on the configuration
-        (universal / spherical-ZYX joints) — the solver then computes
-        per-problem subspaces at solve time instead of trace-constant ones."""
-        return any(t in (UNIVERSAL, SPHERICAL_ZYX) for t in self.jtypes)
+        (universal / spherical-ZYX / mimic-pair joints) — the solver then
+        computes per-problem subspaces at solve time instead of
+        trace-constant ones."""
+        return any(
+            t in (UNIVERSAL, SPHERICAL_ZYX, MIMIC_PAIR) for t in self.jtypes
+        )
 
     def joint_S(self, i: int, q: jnp.ndarray = None) -> jnp.ndarray:
         """Motion subspace of joint i, shape (6, nv_i), [linear; angular] rows.
@@ -242,6 +290,33 @@ class KinematicTree:
             ang = jnp.stack([col0, col1, col2], axis=-1)      # (..., 3, 3)
             zeros = jnp.zeros(cb.shape + (3, 3), dt)
             return jnp.concatenate([zeros, ang], axis=-2)
+        if t == MIMIC_PAIR:
+            # merged serial pair: v_C = [Ad^-1_{X2 M2(q2)} S_m + k S_j] q̇1
+            # with q2 = k q1 + o (see MIMIC_PAIR above; the coupling makes
+            # the column configuration-dependent through M2)
+            if q is None:
+                raise ValueError(
+                    f"joint {i} is a mimic pair: its motion subspace depends "
+                    "on the configuration; call joint_S(i, q)"
+                )
+            mt, jt, k_, o_ = self.mimic[i]
+            iq = self.idx_q[i]
+            q1 = q[..., iq]
+            q2 = k_ * q1 + o_
+            a1, a2 = self.axis[i], self.axis2[i]
+            R2, p2 = _calc_1dof(jt, a2, q2, dt)
+            R2p, p2p = self.placement2_R[i], self.placement2_p[i]
+            Rc = R2p @ R2                                     # (...,3,3)
+            pc = p2p + jnp.einsum("ij,...j->...i", R2p, p2)
+            v1, w1 = _twist_1dof(mt, a1, dt)
+            v1 = jnp.broadcast_to(v1, q1.shape + (3,))
+            w1 = jnp.broadcast_to(w1, q1.shape + (3,))
+            vp = jnp.einsum("...ji,...j->...i", Rc,
+                            v1 - jnp.cross(pc, w1))
+            wp = jnp.einsum("...ji,...j->...i", Rc, w1)
+            v2, w2 = _twist_1dof(jt, a2, dt)
+            col = jnp.concatenate([vp + k_ * v2, wp + k_ * w2], axis=-1)
+            return col[..., None]                             # (...,6,1)
         if t == UNIVERSAL:
             # body-frame angular velocity of M = R1(q1) R2(q2):
             #   ω = q̇1 · R2(q2)^T a1  +  q̇2 · a2
@@ -365,6 +440,19 @@ class KinematicTree:
                 jnp.broadcast_to(self.axis2[i], q2.shape + (3,)), q2
             )
             return R1 @ R2, jnp.zeros(q1.shape + (3,), self.dtype)
+        if t == MIMIC_PAIR:
+            # M = M_master(q1) * X2 * M_mimic(k q1 + o)
+            mt, jt, k_, o_ = self.mimic[i]
+            q1 = q[..., iq]
+            q2 = k_ * q1 + o_
+            R1, p1 = _calc_1dof(mt, self.axis[i], q1, self.dtype)
+            R2, p2 = _calc_1dof(jt, self.axis2[i], q2, self.dtype)
+            R2p, p2p = self.placement2_R[i], self.placement2_p[i]
+            Rc = R2p @ R2
+            pc = p2p + jnp.einsum("ij,...j->...i", R2p, p2)
+            R = R1 @ Rc
+            p = p1 + jnp.einsum("...ij,...j->...i", R1, pc)
+            return R, p
         raise ValueError(f"unknown joint type {t}")
 
     def neutral(self) -> jnp.ndarray:
@@ -422,7 +510,7 @@ class KinematicTree:
         dq = jnp.asarray(dq)
         for i, t in enumerate(self.jtypes):
             iq, iv = self.idx_q[i], self.idx_v[i]
-            if t in (REVOLUTE, PRISMATIC, HELICAL):
+            if t in (REVOLUTE, PRISMATIC, HELICAL, MIMIC_PAIR):
                 out = out.at[..., iq].set(out[..., iq] + dq[..., iv])
             elif t in (TRANSLATION, UNIVERSAL, SPHERICAL_ZYX):
                 # vector-space joints: plain addition (pinocchio convention;
@@ -509,6 +597,10 @@ class KinematicTree:
             axis=self.axis.astype(dtype),
             velocity_limit=self.velocity_limit.astype(dtype),
             axis2=None if self.axis2 is None else self.axis2.astype(dtype),
+            placement2_R=(None if self.placement2_R is None
+                          else self.placement2_R.astype(dtype)),
+            placement2_p=(None if self.placement2_p is None
+                          else self.placement2_p.astype(dtype)),
         )
 
 
@@ -603,6 +695,7 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
     joints = expand_composites(joints)
     parents, jtypes, names, pitches = [], [], [], []
     pR, pp, axes, axes2 = [], [], [], []
+    mimics, p2R, p2p = [], [], []
     idx_v, idx_q = [], []
     nv = nq = 0
     for j in joints:
@@ -632,6 +725,23 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
         axes.append(ax)
         axes2.append(ax2)
         pitches.append(float(j.get("pitch", 0.0)))
+        # mimic-pair extras: static coupling meta + inner placement
+        if t == MIMIC_PAIR:
+            m = j["mimic"]  # (master_type, mimic_type, multiplier, offset)
+            mimics.append((int(m[0]), int(m[1]), float(m[2]), float(m[3])))
+            if "R2" in j:
+                R2 = np.asarray(j["R2"], dtype=np.float64)
+            else:
+                rpy2 = np.asarray(j.get("rpy2", (0.0, 0.0, 0.0)),
+                                  dtype=np.float64)
+                R2 = np.asarray(spatial.rpy_to_rotmat(jnp.asarray(rpy2)))
+            p2R.append(R2)
+            p2p.append(np.asarray(j.get("xyz2", (0.0, 0.0, 0.0)),
+                                  dtype=np.float64))
+        else:
+            mimics.append(None)
+            p2R.append(np.eye(3))
+            p2p.append(np.zeros(3))
         idx_v.append(nv)
         idx_q.append(nq)
         nv += JOINT_NV[t]
@@ -640,6 +750,7 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
     for j, iv, t in zip(joints, idx_v, jtypes):
         if "velocity_limit" in j:
             vel_lim[iv : iv + JOINT_NV[t]] = j["velocity_limit"]
+    has_mimic = any(t == MIMIC_PAIR for t in jtypes)
     return KinematicTree(
         placement_R=jnp.asarray(np.stack(pR), dtype=dtype),
         placement_p=jnp.asarray(np.stack(pp), dtype=dtype),
@@ -652,7 +763,13 @@ def make_tree(joints, name="robot", dtype=jnp.float64) -> KinematicTree:
         joint_names=tuple(names),
         name=name,
         axis2=(jnp.asarray(np.stack(axes2), dtype=dtype)
-               if any(t == UNIVERSAL for t in jtypes) else None),
+               if any(t in (UNIVERSAL, MIMIC_PAIR) for t in jtypes)
+               else None),
         pitches=(tuple(pitches)
                  if any(t == HELICAL for t in jtypes) else None),
+        mimic=tuple(mimics) if has_mimic else None,
+        placement2_R=(jnp.asarray(np.stack(p2R), dtype=dtype)
+                      if has_mimic else None),
+        placement2_p=(jnp.asarray(np.stack(p2p), dtype=dtype)
+                      if has_mimic else None),
     )

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import spatial
-from .tree import (FREE_FLYER, PLANAR, PRISMATIC, REVOLUTE,
+from .tree import (FREE_FLYER, MIMIC_PAIR, PLANAR, PRISMATIC, REVOLUTE,
                    REVOLUTE_UNBOUNDED, SPHERICAL, TRANSLATION, UNIVERSAL,
                    KinematicTree, make_tree)
 
@@ -31,6 +31,7 @@ _TYPE_MAP = {
     "spherical": SPHERICAL,      # not standard URDF; accepted as an extension
     "translation": TRANSLATION,  # extension (pinocchio JointModelTranslation)
     "universal": UNIVERSAL,      # extension; second axis via <axis2 xyz=.../>
+    "mimic_pair": MIMIC_PAIR,    # internal: produced by mimic='reduce'
 }
 
 
@@ -49,12 +50,24 @@ def _parse_origin(el):
 
 
 def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
-              floating_base: bool = False) -> KinematicTree:
+              floating_base: bool = False,
+              mimic: str = "raise") -> KinematicTree:
     """Parse a URDF string or file path into a KinematicTree.
 
     floating_base=True prepends a free-flyer joint at the root link, the way
     pinocchio's `buildModel(path, JointModelFreeFlyer())` does for humanoids
     and quadrupeds (Solo/Talos configs in BASELINE.json).
+
+    mimic: what to do with `<mimic>` joint couplings (q = k q_master + o):
+      - "raise" (default): reject with a clear error — loading a mimic joint
+        as an independent dof silently solves the wrong problem.
+      - "reduce": fold each SERIAL-ADJACENT pair (the mimic joint hangs
+        directly off its master's child link, no siblings or intervening
+        fixed frames) into ONE 1-dof `MIMIC_PAIR` joint whose
+        configuration-dependent subspace carries the coupling exactly
+        (coupled finger phalanges etc.).  Non-adjacent mimics still raise:
+        cross-branch couplings cannot be expressed by the solver's
+        per-joint variables.
     """
     if "<robot" not in source:
         with open(source) as f:
@@ -66,28 +79,22 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
     joints = []
     child_of: Dict[str, dict] = {}
     for j in root.findall("joint"):
-        mim = j.find("mimic")
-        if mim is not None:
-            # A <mimic joint=... multiplier=... offset=...> couples this
-            # joint's dof to its master's (q = k q_master + o) — most
-            # commercial gripper URDFs carry one.  Treating it as an
-            # independent actuated dof would silently solve the WRONG
-            # problem (the solver's per-joint decision variables cannot
-            # express the cross-joint coupling), so reject loudly.
-            raise ValueError(
-                f"joint '{j.get('name')}' mimics "
-                f"'{mim.get('joint')}': <mimic> couplings are not supported "
-                "(the per-joint solver variables cannot express nu_mimic = "
-                "k * nu_master); remove the mimic joint from the URDF (e.g. "
-                "fix grippers at a constant opening) or model the pair "
-                "explicitly"
-            )
         jd = {
             "name": j.get("name"),
             "type": j.get("type"),
             "parent_link": j.find("parent").get("link"),
             "child_link": j.find("child").get("link"),
         }
+        mim = j.find("mimic")
+        if mim is not None:
+            # <mimic joint=... multiplier=... offset=...> couples this
+            # joint's dof to its master's (q = k q_master + o); handled
+            # below per the `mimic` policy
+            jd["mimic"] = {
+                "joint": mim.get("joint"),
+                "multiplier": float(mim.get("multiplier") or 1.0),
+                "offset": float(mim.get("offset") or 0.0),
+            }
         R, p = _parse_origin(j)
         jd["R"], jd["p"] = R, p
         ax = j.find("axis")
@@ -103,6 +110,63 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
         )
         joints.append(jd)
         child_of[jd["child_link"]] = jd
+
+    # ---- mimic policy ----------------------------------------------------
+    mimic_jds = [jd for jd in joints if "mimic" in jd]
+    if mimic_jds and mimic != "reduce":
+        jd = mimic_jds[0]
+        raise ValueError(
+            f"joint '{jd['name']}' mimics '{jd['mimic']['joint']}': <mimic> "
+            "couplings are not supported as independent dofs (the per-joint "
+            "solver variables cannot express nu_mimic = k * nu_master); "
+            "pass mimic='reduce' to fold serial-adjacent pairs into one "
+            "coupled joint, or remove the mimic joint from the URDF"
+        )
+    for jd in mimic_jds:
+        by_name = {j2["name"]: j2 for j2 in joints}
+        master = by_name.get(jd["mimic"]["joint"])
+        if master is None:
+            raise ValueError(
+                f"joint '{jd['name']}' mimics unknown joint "
+                f"'{jd['mimic']['joint']}'"
+            )
+        siblings = [j2 for j2 in joints
+                    if j2["parent_link"] == master["child_link"]]
+        if jd["parent_link"] != master["child_link"] or siblings != [jd]:
+            raise ValueError(
+                f"mimic joint '{jd['name']}' is not serial-adjacent to its "
+                f"master '{master['name']}' (it must be the ONLY joint on "
+                "the master's child link, with no intervening fixed "
+                "frames): cross-branch couplings cannot be expressed by "
+                "the solver's per-joint variables"
+            )
+        if master["type"] not in ("revolute", "prismatic") or jd[
+                "type"] not in ("revolute", "prismatic"):
+            raise ValueError(
+                f"mimic reduction supports revolute/prismatic pairs; got "
+                f"{master['type']} -> {jd['type']}"
+            )
+        if "mimic" in master:
+            raise ValueError(
+                f"chained mimic ('{jd['name']}' mimics mimic-joint "
+                f"'{master['name']}') is not supported"
+            )
+        k = jd["mimic"]["multiplier"]
+        # merge: the master becomes a 1-dof MIMIC_PAIR joint whose FK/S
+        # carry the coupling exactly (tree.MIMIC_PAIR); the mimic joint's
+        # own origin becomes the pair's inner placement
+        master["_pair"] = (_TYPE_MAP[master["type"]], _TYPE_MAP[jd["type"]],
+                           k, jd["mimic"]["offset"])
+        master["_R2"], master["_p2"] = jd["R"], jd["p"]
+        master["axis2"] = jd["axis"]
+        master["type"] = "mimic_pair"
+        master["child_link"] = jd["child_link"]
+        vl_m = master.get("velocity_limit", np.inf)
+        vl_j = jd.get("velocity_limit", np.inf)
+        master["velocity_limit"] = (
+            min(vl_m, vl_j / abs(k)) if k else vl_m
+        )
+        joints.remove(jd)
 
     # find the root link (a link that is never a child)
     child_links = set(child_of)
@@ -141,6 +205,9 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
             entry["axis"] = jd["axis"]
             if "axis2" in jd:
                 entry["axis2"] = jd["axis2"]
+            if "_pair" in jd:
+                entry["mimic"] = jd["_pair"]
+                entry["_R2"], entry["_p2"] = jd["_R2"], jd["_p2"]
             entry["velocity_limit"] = jd["velocity_limit"]
             out_joints.append(entry)
             stack.append((jd["child_link"], idx, np.eye(3), np.zeros(3)))
@@ -153,6 +220,8 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
                 name=e["name"], parent=e["parent"], type=e["type"], axis=e.get("axis", (0, 0, 1)),
                 axis2=e.get("axis2", (0, 1, 0)),
                 velocity_limit=e.get("velocity_limit", np.inf),
+                **({"mimic": e["mimic"], "R2": e["_R2"], "xyz2": e["_p2"]}
+                   if "mimic" in e else {}),
             )
             for e in out_joints
         ],
