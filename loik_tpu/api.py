@@ -17,7 +17,6 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .params import SolverParams
 from .problem import IkProblem, make_problem

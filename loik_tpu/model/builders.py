@@ -9,8 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .tree import (FREE_FLYER, PLANAR, PRISMATIC, REVOLUTE,
-                   REVOLUTE_UNBOUNDED, SPHERICAL, TRANSLATION, UNIVERSAL,
+from .tree import (FREE_FLYER, PRISMATIC, REVOLUTE, SPHERICAL,
                    KinematicTree, make_tree)
 
 

@@ -14,7 +14,7 @@ import os
 
 import jax.numpy as jnp
 
-from .tree import FREE_FLYER, PRISMATIC, REVOLUTE, KinematicTree, make_tree
+from .tree import FREE_FLYER, REVOLUTE, KinematicTree, make_tree
 from .urdf import load_urdf
 
 _ASSETS = os.path.join(os.path.dirname(__file__), "assets")

@@ -11,7 +11,6 @@ The argmin reduction over the sharded seed axis is the only collective."""
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

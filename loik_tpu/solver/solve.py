@@ -33,11 +33,10 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..params import SolverParams
 from ..problem import IkProblem

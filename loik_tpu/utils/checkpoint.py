@@ -12,8 +12,6 @@ solve's placement.
 from __future__ import annotations
 
 import os
-from typing import Tuple
-
 import jax
 import numpy as np
 

@@ -1,5 +1,6 @@
 """Broadened joint model: unbounded revolute (nq=2), translation, planar,
-universal, helical, spherical-ZYX, composite — construction, kinematics, subspace consistency, integration,
+universal, helical, spherical-ZYX, composite — construction, kinematics,
+subspace consistency, integration,
 URDF mapping (incl. `continuous` -> unbounded, the Pinocchio convention),
 native-parser parity, and fast-vs-oracle solver parity.
 

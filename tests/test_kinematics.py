@@ -10,7 +10,6 @@ from loik_tpu import SolverParams, make_problem, solve
 from loik_tpu.model import robots
 from loik_tpu.model.kinematics import (
     frame_velocity,
-    joint_jacobian,
     task_from_world_velocity,
     task_linear_velocity,
 )

@@ -5,8 +5,6 @@ The stream is the public form of the scanned tick driver the bench's 1 kHz
 device-side tracking number is measured on (VERDICT r3 next step 1;
 reference tailored control overload loik-loid-optimized.hpp:596-695)."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,7 +1,5 @@
 """Observability + checkpoint utilities."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
