@@ -81,3 +81,30 @@ def test_multistart_picks_converged_seed():
     assert np.isfinite(float(err))
     assert float(err) < PARAMS.tol_abs * 10
     assert int(res.converged.sum()) > 0
+
+
+def test_stream_on_sharded_fleet():
+    """A tracking stream over a batch-sharded controller fleet: scanned
+    warm ticks run SPMD over the mesh and match the unsharded stream (the
+    multi-chip form of the 1 kHz capability)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from loik_tpu.solver.stream import solve_stream
+
+    tree = robots.panda()
+    problem = fixture_problem(tree, b3=0.1)
+    B, T = 16, 4
+    qs = tree.random_configuration(jax.random.PRNGKey(5), (B,))
+    b_seq = np.zeros((T, 6))
+    b_seq[:, 2] = 0.1 * np.cos(np.arange(T))
+    params = PARAMS.replace(warm_start=True)
+
+    ref = solve_stream(tree, params, qs, problem, 0, b_seq)
+    mesh = make_mesh()
+    qs_sh = jax.device_put(qs, NamedSharding(mesh, P("batch")))
+    sh = solve_stream(tree, params, qs_sh, problem, 0, b_seq)
+    assert len(sh.nu.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sh.nu), np.asarray(ref.nu),
+                               atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(sh.converged),
+                                  np.asarray(ref.converged))
