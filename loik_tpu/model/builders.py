@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .tree import (FREE_FLYER, PRISMATIC, REVOLUTE, SPHERICAL,
+from .tree import (FREE_FLYER, MIMIC_PAIR, PRISMATIC, REVOLUTE, SPHERICAL,
                    KinematicTree, make_tree)
 
 
@@ -68,17 +68,26 @@ def random_tree(rng: np.random.Generator, n_joints: int,
         axis /= np.linalg.norm(axis)
         axis2 = rng.normal(size=3)
         axis2 /= np.linalg.norm(axis2)
-        joints.append(
-            dict(
-                name=f"j{i}",
-                parent=parent,
-                type=t,
-                xyz=tuple(rng.uniform(-0.4, 0.4, size=3)),
-                rpy=tuple(rng.uniform(-np.pi, np.pi, size=3)),
-                axis=tuple(axis),
-                axis2=tuple(axis2),
-                pitch=float(rng.uniform(0.02, 0.3)),  # used by HELICAL only
-                velocity_limit=5.0,
-            )
+        j = dict(
+            name=f"j{i}",
+            parent=parent,
+            type=t,
+            xyz=tuple(rng.uniform(-0.4, 0.4, size=3)),
+            rpy=tuple(rng.uniform(-np.pi, np.pi, size=3)),
+            axis=tuple(axis),
+            axis2=tuple(axis2),
+            pitch=float(rng.uniform(0.02, 0.3)),  # used by HELICAL only
+            velocity_limit=5.0,
         )
+        if t == MIMIC_PAIR:
+            # random serial rev/prism coupling with a random inner placement
+            j["mimic"] = (
+                int(rng.choice([REVOLUTE, PRISMATIC])),
+                int(rng.choice([REVOLUTE, PRISMATIC])),
+                float(rng.uniform(0.4, 1.8) * rng.choice([-1.0, 1.0])),
+                float(rng.uniform(-0.3, 0.3)),
+            )
+            j["xyz2"] = tuple(rng.uniform(-0.2, 0.2, size=3))
+            j["rpy2"] = tuple(rng.uniform(-np.pi, np.pi, size=3))
+        joints.append(j)
     return make_tree(joints, name=name)

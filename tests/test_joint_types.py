@@ -18,7 +18,8 @@ import pytest
 
 from loik_tpu.model import robots
 from loik_tpu.model.builders import random_tree
-from loik_tpu.model.tree import (FREE_FLYER, HELICAL, PLANAR, PRISMATIC,
+from loik_tpu.model.tree import (FREE_FLYER, HELICAL, MIMIC_PAIR,
+                                 PLANAR, PRISMATIC,
                                  REVOLUTE, REVOLUTE_UNBOUNDED, SPHERICAL,
                                  SPHERICAL_ZYX, TRANSLATION, UNIVERSAL,
                                  make_tree)
@@ -287,12 +288,12 @@ def test_urdf_new_types_native_parity():
 @pytest.mark.parametrize("seed", range(3))
 def test_fuzz_new_types_parity(seed):
     """Random tree forced to contain PLANAR + TRANSLATION + UNBOUNDED +
-    UNIVERSAL joints: fast solver (incl. the q-dependent S_list path) vs
-    oracle at 1e-9."""
+    UNIVERSAL + MIMIC_PAIR joints: fast solver (incl. the q-dependent
+    S_list path) vs oracle at 1e-9."""
     rng = np.random.default_rng(200 + seed)
     force = (PLANAR, TRANSLATION, REVOLUTE_UNBOUNDED, UNIVERSAL, HELICAL,
-             SPHERICAL_ZYX)
-    tree = random_tree(rng, int(rng.integers(6, 10)), force_types=force)
+             SPHERICAL_ZYX, MIMIC_PAIR)
+    tree = random_tree(rng, int(rng.integers(8, 11)), force_types=force)
     assert set(force) <= set(tree.jtypes)
     c_links = (tree.leaf_joints[-1],)
     b = rng.uniform(-0.15, 0.15, size=(1, 6))
