@@ -163,7 +163,12 @@ def run_standard(args, config_name):
         [(lambda qb=qb: run(qb)) for qb in q_batches[:R]],
         lambda rs: sum(int(np.asarray(x.converged).sum()) for x in rs),
     )
-    emit(args, label, lat, B, R, total_converged, t_all, res, pipelined=pipe)
+    dev_s, conv_dev = measure_device_reps(run, q_batches[:R])
+    emit(args, label, lat, B, R, total_converged, t_all, res, pipelined=pipe,
+         extra_fields={
+             "device_ms_per_batch": round(dev_s / R * 1e3, 3),
+             "device_value": round(conv_dev / dev_s, 1),
+         })
 
 
 def run_mixed(args):
@@ -317,6 +322,34 @@ def run_multistart(args):
                f"{best:.2e})", lat, B, R, total_converged, t_all, res,
          unit="seeds/s", count_all=True,
          metric="multistart seeds/s/chip (%s, tol %g, %s)", pipelined=pipe)
+
+
+def measure_device_reps(run, q_batches):
+    """Pure device rate: all R reps inside ONE jitted `lax.scan` program, so
+    the measurement contains zero host dispatches between reps — the
+    chip-rate companion to the pipelined (dispatch-overlapped) number.
+    Returns (seconds_total, converged_count)."""
+    import jax
+    import jax.numpy as jnp
+
+    q_stack = jnp.stack([jnp.asarray(q) for q in q_batches])
+
+    @jax.jit
+    def scan_fn(qs):
+        def rep(carry, q):
+            res = run(q)
+            return carry, (res.converged, res.iterations)
+
+        _, ys = jax.lax.scan(rep, jnp.zeros(()), qs)
+        return ys
+
+    ys = scan_fn(q_stack)
+    jax.block_until_ready(ys)
+    t0 = time.perf_counter()
+    ys = scan_fn(q_stack)
+    jax.block_until_ready(ys)
+    dt = time.perf_counter() - t0
+    return dt, int(np.asarray(ys[0]).sum())
 
 
 def measure_pipelined(thunks, count_converged):
