@@ -26,6 +26,7 @@ from .solver import solve
 from .solver.refine import (solve_delta_duals, solve_delta_refined,
                             solve_two_stage)
 from .solver.state import SolveResult, SolverState
+from .solver.diff import solve_unrolled
 from .solver.stream import StreamResult, solve_stream
 
 __version__ = "0.1.0"

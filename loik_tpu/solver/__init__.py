@@ -1,10 +1,12 @@
 from .solve import fwd_pass_init, prepare_problem, solve
 from .state import PreparedProblem, SolverState, SolveResult, init_state
+from .diff import solve_unrolled
 from .stream import StreamResult, solve_stream
 
 __all__ = [
     "solve",
     "solve_stream",
+    "solve_unrolled",
     "prepare_problem",
     "fwd_pass_init",
     "SolverState",
