@@ -58,7 +58,12 @@ def solve_unrolled(tree, params: SolverParams, q, problem: IkProblem,
     count for the problem class (converged problems freeze, so extra
     iterations cost forward/backward FLOPs but do not change the answer);
     check ``res.converged`` on the primal values as usual.  Wrap in
-    `jax.jit` at the loss level — this function is plain traced code."""
+    `jax.jit` at the loss level — this function is plain traced code.
+
+    Runs the XLA loop (the fused Pallas kernel is a custom call with no
+    VJP); on TPU a jitted grad step costs ~55 ms at B=256 x 40 iterations
+    (measured, ur5) — fine for training loops, which are throughput- not
+    latency-bound."""
     if params.logging or params.verbose:
         raise ValueError("solve_unrolled supports neither logging nor "
                          "verbose (use solve)")
