@@ -318,10 +318,15 @@ def run_multistart(args):
         [(lambda k=k: run(k)) for k in keys[:R]],
         lambda rss: sum(int(np.asarray(t[-1].converged).sum()) for t in rss),
     )
+    dev_s, _ = measure_device_reps(lambda k: run(k)[-1], list(keys[:R]))
     emit(args, f"multistart {B * R} seeds {args.robot} (best task err "
                f"{best:.2e})", lat, B, R, total_converged, t_all, res,
          unit="seeds/s", count_all=True,
-         metric="multistart seeds/s/chip (%s, tol %g, %s)", pipelined=pipe)
+         metric="multistart seeds/s/chip (%s, tol %g, %s)", pipelined=pipe,
+         extra_fields={
+             "device_ms_per_batch": round(dev_s / R * 1e3, 3),
+             "device_value": round(B * R / dev_s, 1),  # seeds/s counts all
+         })
 
 
 def measure_device_reps(run, q_batches):
