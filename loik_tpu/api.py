@@ -191,7 +191,8 @@ class DiffIkSolver:
         self.last_result = res
         return res
 
-    def track_scan(self, q, b_seq, link: Optional[int] = None, A_seq=None):
+    def track_scan(self, q, b_seq, link: Optional[int] = None, A_seq=None,
+                   refine: Optional[str] = None):
         """Run a horizon of tracking ticks as ONE device program.
 
         The device-resident form of `solve_tracking`: `b_seq[t]` (and
@@ -221,6 +222,7 @@ class DiffIkSolver:
             self.tree, self.params, q, self.problem, slot,
             b_seq, A_seq=A_seq,
             warm_state=self._state if self.params.warm_start else None,
+            refine=refine,
         )
         self._state = stream.state
         self.problem = self.problem.update_constraint(

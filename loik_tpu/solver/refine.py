@@ -359,6 +359,22 @@ def _delta_duals_jit(tree32, tree64, p1, p2, q, prob32, prob64, warm_state,
     # ---- recombine in the original space --------------------------------
     nu_hat = _flat_nu(tree32, st1.nu)
     vis_hat = jnp.moveaxis(st1.vis, -1, 0)
+    # the returned state is FULL-space (x = x_hat + dx, duals y_hat + dy),
+    # so warm-starting the next solve from it is meaningful — a delta-space
+    # state would restart every consumer near zero (st2.stfw is already the
+    # full-space value: the delta iteration adds r_offset = (S'f + w)|_hat;
+    # fdpa needs the stage-boundary f64 evaluation added back)
+    st_full = dataclasses.replace(
+        st2,
+        vis=st2.vis + st1.vis,
+        fis=st2.fis + st1.fis,
+        nu=st2.nu + st1.nu,
+        z=st2.z + st1.nu,
+        w=st1.w + st2.w,
+        yis=st1.yis + st2.yis,
+        Aty=st1.Aty + st2.Aty,
+        fdpa=st2.fdpa + fdpa_hat.astype(f32),
+    )
     return SolveResult(
         nu=_flat_nu(tree32, st2.nu) + nu_hat,
         z=_flat_nu(tree32, st2.z) + nu_hat,
@@ -370,7 +386,7 @@ def _delta_duals_jit(tree32, tree64, p1, p2, q, prob32, prob64, warm_state,
         tail_iterations=st2.tail_iterations,
         primal_residual=st2.primal_residual,
         dual_residual=st2.dual_residual,
-        state=st2,
+        state=st_full,
     )
 
 

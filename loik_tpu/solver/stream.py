@@ -61,16 +61,23 @@ def _stream_fused_default(tree, params: SolverParams, q, B: int,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _stream_jit(tree, params, slot, fused, batch_tile, interpret, q, problem,
-                warm_state, b_seq, A_seq):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _stream_jit(tree, params, slot, fused, batch_tile, interpret, refine,
+                q, problem, warm_state, b_seq, A_seq):
     per_tick_q = q.ndim == 3
 
     def tick(st, xs):
         bt_, At_, qt_ = xs
         prob = problem.update_constraint(slot, A=At_, b=bt_)
         qt = qt_ if per_tick_q else q
-        if fused:
+        if refine == "delta":
+            from .refine import solve_delta_duals
+
+            res = solve_delta_duals(
+                tree, params, qt, prob, warm_state=st, fused=fused,
+                batch_tile=batch_tile, _interpret=interpret,
+            )
+        elif fused:
             from ..kernels.fused import _fused_body
 
             with jax.enable_x64(False):
@@ -92,6 +99,7 @@ def solve_stream(tree, params: SolverParams, q, problem: IkProblem,
                  warm_state: Optional[SolverState] = None,
                  fused: Optional[bool] = None,
                  batch_tile: Optional[int] = None,
+                 refine: Optional[str] = None,
                  _interpret: bool = False) -> StreamResult:
     """Run T tracking ticks as ONE device program (`lax.scan` over ticks).
 
@@ -112,6 +120,12 @@ def solve_stream(tree, params: SolverParams, q, problem: IkProblem,
         a settling `solve`); None starts cold.  With ``params.warm_start``
         every subsequent tick warm-starts from its predecessor either way —
         warm_start=False resets each tick (rarely what a tracker wants).
+      refine: None (default) solves each tick in plain f32 at
+        params.tol (the 1 kHz regime; the f32 floor is ~1e-5), or
+        "delta" to run the delta-duals tol-1e-6 path per tick (f32 stages
+        + one f64 KKT evaluation; needs jax x64 enabled) — full-space warm
+        state threads between ticks, for slower control loops that need
+        certified tight tolerances.
 
     On TPU each tick runs as the fused Pallas kernel when eligible (f32,
     constant subspaces, no logging/verbose, B divisible by the tile);
@@ -132,12 +146,23 @@ def solve_stream(tree, params: SolverParams, q, problem: IkProblem,
         from .refine import default_batch_tile
 
         batch_tile = default_batch_tile(tree.njoints)
+    if refine not in (None, "delta"):
+        raise ValueError(f"refine must be None or 'delta'; got {refine!r}")
     if fused is None:
         fused = _stream_fused_default(tree, params, q, B, batch_tile)
+    # the delta path's returned state is f32 regardless of q dtype; the
+    # scan carry must be type-stable
+    state_dtype = jnp.float32 if refine == "delta" else q.dtype
     if warm_state is None:
         from .state import init_state
 
-        warm_state = init_state(tree, B, problem.num_constraints, q.dtype)
+        warm_state = init_state(tree, B, problem.num_constraints,
+                                state_dtype)
+    elif refine == "delta":
+        from .refine import _cast_state
+
+        warm_state = _cast_state(warm_state, jnp.float32)
     A_seq = None if A_seq is None else jnp.asarray(A_seq, q.dtype)
     return _stream_jit(tree, params, int(slot), bool(fused), batch_tile,
-                       bool(_interpret), q, problem, warm_state, b_seq, A_seq)
+                       bool(_interpret), refine, q, problem, warm_state,
+                       b_seq, A_seq)

@@ -125,3 +125,30 @@ def test_track_scan_link_validation():
     solver = DiffIkSolver(tree, params, (tree.njoints - 1,), problem=problem)
     with pytest.raises(ValueError, match="no constraint"):
         solver.track_scan(q, _b_seq(2, np.float64), link=0)
+
+
+def test_delta_stream_matches_eager_warm_loop():
+    """refine='delta' streams the tol-1e-6 path: each tick == an eager
+    solve_delta_duals warm-started from the previous tick's (full-space)
+    state."""
+    from loik_tpu.solver.refine import solve_delta_duals
+
+    tree, params, problem, q = _setup(dtype=jnp.float64, B=4)
+    params = params.replace(tol_abs=1e-6, tol_rel=1e-6)
+    T = 3
+    b_seq = _b_seq(T, np.float64)
+
+    stream = solve_stream(tree, params, q, problem, 0, b_seq,
+                          refine="delta")
+    st = None
+    for t in range(T):
+        prob_t = problem.update_constraint(0, b=b_seq[t])
+        res = solve_delta_duals(tree, params, q, prob_t, warm_state=st)
+        st = res.state
+        np.testing.assert_allclose(np.asarray(stream.nu[t]),
+                                   np.asarray(res.nu),
+                                   rtol=1e-12, atol=1e-12)
+        assert np.array_equal(np.asarray(stream.converged[t]),
+                              np.asarray(res.converged))
+        assert np.array_equal(np.asarray(stream.iterations[t]),
+                              np.asarray(res.iterations))

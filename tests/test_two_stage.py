@@ -162,3 +162,41 @@ def test_delta_duals_infeasible_frozen():
     assert bool(rdd.primal_infeasible[0])
     assert not bool(rdd.converged[0])
     assert np.asarray(rdd.converged)[1:].mean() > 0.5
+
+
+def test_delta_state_is_full_space():
+    """solve_delta_duals returns a FULL-space state (x_hat + dx, duals
+    y_hat + dy) so warm-starting from it is meaningful: primal fields must
+    match the recombined outputs, and a warm re-solve of the SAME problem
+    must terminate much faster than a cold one."""
+    import jax.numpy as jnp
+
+    from loik_tpu.solver.refine import solve_delta_duals
+    from loik_tpu.solver.solve import _flat_nu
+
+    tree = robots.get("panda_arm")
+    b = np.zeros((1, 6))
+    b[0, 2] = 0.1
+    problem = make_problem(tree, (tree.njoints - 1,), b=b,
+                           lb=-4 * np.ones(tree.nv), ub=4 * np.ones(tree.nv))
+    params = SolverParams(max_iter=100, tol_abs=1e-6, tol_rel=1e-6,
+                          warm_start=True)
+    q = tree.random_configuration(jax.random.PRNGKey(2), (8,))
+    res = solve_delta_duals(tree, params, q, problem)
+    tree32 = tree.astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(_flat_nu(tree32, res.state.nu)),
+                               np.asarray(res.nu), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(res.state.vis, -1, 0)),
+        np.asarray(res.vis), rtol=1e-6, atol=1e-7)
+
+    res_warm = solve_delta_duals(tree, params, q, problem,
+                                 warm_state=res.state)
+    res_cold = solve_delta_duals(tree, params.replace(warm_start=False), q,
+                                 problem)
+    conv = np.asarray(res.converged)
+    it_w = np.asarray(res_warm.iterations)[conv]
+    it_c = np.asarray(res_cold.iterations)[conv]
+    assert it_w.mean() < 0.6 * it_c.mean(), (it_w.mean(), it_c.mean())
+    np.testing.assert_allclose(np.asarray(res_warm.nu)[conv],
+                               np.asarray(res.nu)[conv], atol=2e-5)
