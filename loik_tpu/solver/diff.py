@@ -68,9 +68,8 @@ def solve_unrolled(tree, params: SolverParams, q, problem: IkProblem,
         raise ValueError("solve_unrolled supports neither logging nor "
                          "verbose (use solve)")
     q = jnp.asarray(q)
-    single = q.ndim == 1
-    if single:
-        q = q[None]
+    if q.ndim == 1:
+        q = q[None]  # results stay batched, like `solve` (callers index [0])
     dtype = q.dtype
     B = q.shape[0]
     # budget must not freeze problems before the unroll ends: the body's

@@ -839,9 +839,8 @@ def solve(tree, params: SolverParams, q, problem: IkProblem,
 
     validate_problem(tree, problem)
     q = jnp.asarray(q)
-    single = q.ndim == 1
-    if single:
-        q = q[None]
+    if q.ndim == 1:
+        q = q[None]  # results stay batched (callers index [0])
     if q.shape[-1] != tree.nq:
         raise ValueError(
             f"q has {q.shape[-1]} configuration entries; model '{tree.name}' "
