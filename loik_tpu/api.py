@@ -161,12 +161,22 @@ class DiffIkSolver:
         self._liMi = fwd_pass_init_jit(self.tree, q)
 
     def resolve(self) -> SolveResult:
+        """Re-run only the main loop on the FK frozen by `solve_init`.
+
+        Honors `params.warm_start` exactly like the reference's `Solve()`
+        after `SolveInit()`, which runs `ik_id_data_.Reset(warm_start_)` —
+        duals/primal persist across re-solves when the flag is set
+        (loik-loid-optimized.hpp:368-455, loik-loid-data-optimized.hxx:
+        114-127) — and threads the result state so later warm calls
+        (`solve_tracking`, another `resolve`) start from it."""
         if self._q is None:
             raise RuntimeError("call solve_init first")
         from .solver.solve import solve_from_fk
 
         res = solve_from_fk(self.tree, self.params, self._liMi[0],
-                            self._liMi[1], self.problem, None)
+                            self._liMi[1], self.problem,
+                            self._state if self.params.warm_start else None)
+        self._state = res.state
         self.last_result = res
         return res
 

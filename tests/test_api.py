@@ -50,6 +50,29 @@ def test_split_solve():
     np.testing.assert_array_equal(np.asarray(r1.nu), np.asarray(r2.nu))
 
 
+def test_split_solve_warm_start():
+    """`resolve()` must honor params.warm_start like the reference's
+    `Solve()` after `SolveInit()` (`ik_id_data_.Reset(warm_start_)`,
+    loik-loid-optimized.hpp:368-455): the second resolve warm-starts from
+    the first's state — fewer iterations, same answer as a monolithic warm
+    `solve` from the same state."""
+    tree = robots.ur5()
+    params = PARAMS.replace(warm_start=True)
+    problem = fixture_problem(tree)
+    s = DiffIkSolver(tree, params, problem.constraint_links, problem)
+    q = tree.neutral()
+    s.solve_init(q)
+    r1 = s.resolve()
+    assert s.state is not None  # state threaded for later warm calls
+    r2 = s.resolve()
+    assert int(r2.iterations[0]) < int(r1.iterations[0])
+    # monolithic warm solve from the same state must match exactly
+    r_mono = solve(tree, params, q, problem, warm_state=r1.state)
+    np.testing.assert_array_equal(np.asarray(r2.nu), np.asarray(r_mono.nu))
+    np.testing.assert_array_equal(np.asarray(r2.iterations),
+                                  np.asarray(r_mono.iterations))
+
+
 def test_constraint_update_validation():
     tree = robots.ur5()
     s = DiffIkSolver(tree, PARAMS, (5,))
