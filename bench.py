@@ -300,25 +300,26 @@ def run_multistart(args):
         return solve_multistart(tree, params, problem, k, B,
                                 solve_fn=solve_fn)
 
-    _, _, err, res = run(keys[-1])
-    res.nu.block_until_ready()
+    ms = run(keys[-1])
+    ms.result.nu.block_until_ready()
 
     lat, total_converged, best = [], 0, np.inf
     t_all0 = time.perf_counter()
     for r in range(R):
         t0 = time.perf_counter()
-        bq, bnu, err, res = run(keys[r])
-        err.block_until_ready()
+        ms = run(keys[r])
+        ms.error.block_until_ready()
         lat.append(time.perf_counter() - t0)
-        total_converged += int(res.converged.sum())
-        best = min(best, float(err))
+        total_converged += int(ms.num_converged)
+        best = min(best, float(ms.error[0]))
     t_all = time.perf_counter() - t_all0
+    res = ms.result
 
     pipe = measure_pipelined(
         [(lambda k=k: run(k)) for k in keys[:R]],
-        lambda rss: sum(int(np.asarray(t[-1].converged).sum()) for t in rss),
+        lambda rss: sum(int(t.num_converged) for t in rss),
     )
-    dev_s, _ = measure_device_reps(lambda k: run(k)[-1], list(keys[:R]))
+    dev_s, _ = measure_device_reps(lambda k: run(k).result, list(keys[:R]))
     emit(args, f"multistart {B * R} seeds {args.robot} (best task err "
                f"{best:.2e})", lat, B, R, total_converged, t_all, res,
          unit="seeds/s", count_all=True,

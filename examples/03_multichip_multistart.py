@@ -51,7 +51,9 @@ print(f"sharded solve: B={B} over {n} devices; "
       f"shards={len(res.nu.sharding.device_set)}")
 
 # ---- multi-start global IK ----------------------------------------------
-best_q, best_nu, best_err, _ = solve_multistart(
-    tree, params, problem, jax.random.PRNGKey(1), num_seeds=B, mesh=mesh)
-print(f"multistart: best task error {float(best_err):.2e} "
-      f"from {B} seeds; q* = {np.asarray(best_q).round(3)}")
+ms = solve_multistart(
+    tree, params, problem, jax.random.PRNGKey(1), num_seeds=B, mesh=mesh, k=4)
+assert ms.found, "no seed converged — resample"
+print(f"multistart: best task error {float(ms.error[0]):.2e} "
+      f"({int(ms.num_converged)}/{B} seeds converged); "
+      f"q* = {np.asarray(ms.q[0]).round(3)}")
