@@ -32,35 +32,36 @@ from .solver.state import SolveResult, SolverState
 # tick solve runs as the fused kernel when it can (the XLA tick is per-op-
 # dispatch bound: measured 8.5 ms at B=1024 vs sub-ms fused — the same
 # routing bench.measure_device_ticks uses for the 1 kHz evidence).
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _tracking_jit(tree, params, slot, q, problem, A, b, warm_state):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _tracking_jit(tree, params, slot, fused, q, problem, A, b, warm_state):
     problem = problem.update_constraint(slot, A=A, b=b)
-    fused = (
-        jax.default_backend() == "tpu"
-        and not params.logging
-        and not params.verbose
-        and q.dtype == jnp.float32
-        and not tree.has_q_dependent_S
-    )
     if fused:
         from .kernels.fused import _fused_body
         from .solver.refine import default_batch_tile
 
         bt = default_batch_tile(tree.njoints)
-        if q.shape[0] % bt == 0:
-            with jax.enable_x64(False):
-                return (
-                    _fused_body(params, bt, False, tree, q, problem,
-                                warm_state),
-                    problem,
-                )
+        with jax.enable_x64(False):
+            return (
+                _fused_body(params, bt, False, tree, q, problem, warm_state),
+                problem,
+            )
     return _solve_impl(tree, params, q, problem, warm_state), problem
 
 
 class DiffIkSolver:
     def __init__(self, tree, params: SolverParams,
                  constraint_links: Sequence[int],
-                 problem: Optional[IkProblem] = None):
+                 problem: Optional[IkProblem] = None,
+                 fused=None):
+        """fused: production-kernel policy for `solve_tracking`/`track_scan`
+        — None (auto: fuse when eligible, warn once on a TPU fallback naming
+        the blocker), True/False to force, or "require" to raise when the
+        fused kernel cannot run (`kernels.fused.resolve_fused`)."""
+        if fused not in (None, True, False, "require"):
+            raise ValueError(
+                f"fused must be None, True, False, or 'require'; got {fused!r}"
+            )
+        self.fused = fused
         self.tree = tree
         self.params = params
         self.constraint_links = tuple(int(c) for c in constraint_links)
@@ -191,8 +192,16 @@ class DiffIkSolver:
         q = jnp.asarray(q)
         if q.ndim == 1:
             q = q[None]
+        from .kernels.fused import resolve_fused
+        from .solver.refine import default_batch_tile
+
+        fused = resolve_fused(
+            self.fused, self.tree, self.params, q.shape[0],
+            default_batch_tile(self.tree.njoints), dtype=q.dtype,
+            where="solve_tracking",
+        )
         res, self.problem = _tracking_jit(
-            self.tree, self.params, slot, q, self.problem,
+            self.tree, self.params, slot, fused, q, self.problem,
             None if A is None else jnp.asarray(A),
             None if b is None else jnp.asarray(b),
             self._state if self.params.warm_start else None,
@@ -232,7 +241,7 @@ class DiffIkSolver:
             self.tree, self.params, q, self.problem, slot,
             b_seq, A_seq=A_seq,
             warm_state=self._state if self.params.warm_start else None,
-            refine=refine,
+            refine=refine, fused=self.fused,
         )
         self._state = stream.state
         self.problem = self.problem.update_constraint(

@@ -49,16 +49,6 @@ class StreamResult:
                                     # stream / tick)
 
 
-def _stream_fused_default(tree, params: SolverParams, q, B: int,
-                          batch_tile: int) -> bool:
-    return (
-        jax.default_backend() == "tpu"
-        and not params.logging
-        and not params.verbose
-        and q.dtype == jnp.float32
-        and not tree.has_q_dependent_S
-        and B % batch_tile == 0
-    )
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
@@ -97,7 +87,7 @@ def _stream_jit(tree, params, slot, fused, batch_tile, interpret, refine,
 def solve_stream(tree, params: SolverParams, q, problem: IkProblem,
                  slot: int, b_seq, A_seq=None,
                  warm_state: Optional[SolverState] = None,
-                 fused: Optional[bool] = None,
+                 fused=None,
                  batch_tile: Optional[int] = None,
                  refine: Optional[str] = None,
                  _interpret: bool = False) -> StreamResult:
@@ -126,11 +116,17 @@ def solve_stream(tree, params: SolverParams, q, problem: IkProblem,
         + one f64 KKT evaluation; needs jax x64 enabled) — full-space warm
         state threads between ticks, for slower control loops that need
         certified tight tolerances.
+      fused: None (auto, warns once on a TPU fallback naming the blocker),
+        True/False to force, or "require" to raise when the fused kernel
+        cannot run — no silent 14x tick-cost cliff
+        (`kernels.fused.resolve_fused`).
 
-    On TPU each tick runs as the fused Pallas kernel when eligible (f32,
-    constant subspaces, no logging/verbose, B divisible by the tile);
-    otherwise the XLA while-loop solves each tick.  Per-iteration logging is
-    unsupported (T stacked log arrays; use `solve_tracking` per tick to log).
+    On TPU each tick runs as the fused Pallas kernel when eligible (f32 —
+    except refine="delta", whose stages cast to f32 internally and fuse
+    regardless of q dtype — constant subspaces, no logging/verbose, B
+    divisible by the tile); otherwise the XLA while-loop solves each tick.
+    Per-iteration logging is unsupported (T stacked log arrays; use
+    `solve_tracking` per tick to log).
     """
     if params.logging:
         raise ValueError(
@@ -148,8 +144,15 @@ def solve_stream(tree, params: SolverParams, q, problem: IkProblem,
         batch_tile = default_batch_tile(tree.njoints)
     if refine not in (None, "delta"):
         raise ValueError(f"refine must be None or 'delta'; got {refine!r}")
-    if fused is None:
-        fused = _stream_fused_default(tree, params, q, B, batch_tile)
+    from ..kernels.fused import resolve_fused
+
+    # the delta path's f32 stages fuse regardless of q dtype (it casts
+    # internally) — skip the dtype gate for it (ADVICE r4)
+    fused = resolve_fused(
+        fused, tree, params, B, batch_tile,
+        dtype=None if refine == "delta" else q.dtype,
+        where="solve_stream",
+    )
     # the delta path's returned state is f32 regardless of q dtype; the
     # scan carry must be type-stable
     state_dtype = jnp.float32 if refine == "delta" else q.dtype
