@@ -130,15 +130,39 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
                 f"joint '{jd['name']}' mimics unknown joint "
                 f"'{jd['mimic']['joint']}'"
             )
-        siblings = [j2 for j2 in joints
-                    if j2["parent_link"] == master["child_link"]]
-        if jd["parent_link"] != master["child_link"] or siblings != [jd]:
+        def _subtree_has_moving(j0):
+            # walk the link->joint graph below j0: any non-fixed joint means
+            # j0's branch carries dofs and blocks the serial reduction
+            stack = [j0]
+            while stack:
+                j2 = stack.pop()
+                if j2["type"] != "fixed":
+                    return True
+                stack.extend(j3 for j3 in joints
+                             if j3["parent_link"] == j2["child_link"])
+            return False
+
+        # siblings on the master's child link: purely cosmetic fixed frames
+        # (visual/collision/tool frames, common on real gripper URDFs) do
+        # not affect the coupling and are dropped by the traversal anyway —
+        # only dof-carrying branches block the reduction (ADVICE r4)
+        blocking = [
+            j2 for j2 in joints
+            if j2["parent_link"] == master["child_link"] and j2 is not jd
+            and _subtree_has_moving(j2)
+        ]
+        if jd["parent_link"] != master["child_link"] or blocking:
+            names = ", ".join(f"'{j2['name']}'" for j2 in blocking)
             raise ValueError(
                 f"mimic joint '{jd['name']}' is not serial-adjacent to its "
-                f"master '{master['name']}' (it must be the ONLY joint on "
-                "the master's child link, with no intervening fixed "
-                "frames): cross-branch couplings cannot be expressed by "
-                "the solver's per-joint variables"
+                f"master '{master['name']}' (it must be the only DOF-"
+                "carrying joint on the master's child link, with no "
+                "intervening fixed frames between master and mimic"
+                + (f"; blocking branch(es): {names}" if names else "")
+                + "): cross-branch couplings cannot be expressed by the "
+                "solver's per-joint variables. Leaf fixed frames "
+                "(visual/tool) on the master's child link are allowed and "
+                "dropped."
             )
         if master["type"] not in ("revolute", "prismatic") or jd[
                 "type"] not in ("revolute", "prismatic"):

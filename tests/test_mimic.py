@@ -218,6 +218,44 @@ def test_loader_reduce_mode():
                                np.asarray(oR_e[:, -1]), atol=1e-14)
 
 
+def test_loader_reduce_allows_leaf_fixed_siblings():
+    """Cosmetic fixed frames (visual/tool) on the master's child link are
+    common on real gripper URDFs and do not affect the coupling: the
+    reduction must accept them (ADVICE r4) and produce the same tree."""
+    urdf_with_frames = URDF_COUPLED_FINGER.replace(
+        "</robot>",
+        '<link name="prox_visual"/><link name="nail"/>'
+        '<joint name="prox_vis" type="fixed"><origin xyz="0 0 0.01"/>'
+        '<parent link="prox"/><child link="prox_visual"/></joint>'
+        '<joint name="nail_f" type="fixed"><origin xyz="0 0 0.02"/>'
+        '<parent link="prox_visual"/><child link="nail"/></joint></robot>',
+    )
+    tree = load_urdf(urdf_with_frames, mimic="reduce")
+    ref = load_urdf(URDF_COUPLED_FINGER, mimic="reduce")
+    assert tree.jtypes == ref.jtypes == (MIMIC_PAIR, REVOLUTE)
+    q = jnp.asarray([[0.4, -0.2]])
+    _, _, oR_a, op_a = tree.fwd_kinematics(q)
+    _, _, oR_b, op_b = ref.fwd_kinematics(q)
+    np.testing.assert_allclose(np.asarray(op_a), np.asarray(op_b),
+                               atol=1e-14)
+
+
+def test_loader_reduce_rejects_dof_carrying_fixed_branch():
+    """A fixed sibling whose subtree carries a MOVING joint still blocks the
+    reduction — and the error names the branch."""
+    urdf = URDF_COUPLED_FINGER.replace(
+        "</robot>",
+        '<link name="mount"/><link name="sensor"/>'
+        '<joint name="mount_f" type="fixed"><origin xyz="0 0 0.01"/>'
+        '<parent link="prox"/><child link="mount"/></joint>'
+        '<joint name="sensor_j" type="revolute"><origin xyz="0 0 0.02"/>'
+        '<parent link="mount"/><child link="sensor"/>'
+        '<axis xyz="0 0 1"/></joint></robot>',
+    )
+    with pytest.raises(ValueError, match="mount_f"):
+        load_urdf(urdf, mimic="reduce")
+
+
 def test_loader_rejects_non_adjacent_mimic():
     """Sibling (cross-branch) mimics cannot reduce and must still raise."""
     urdf = (
