@@ -8,10 +8,15 @@
 // topological ordering done natively.  Exposed C ABI, consumed from Python
 // via ctypes (loik_tpu/model/native.py) — no pybind11 required.
 //
-// Scope: the URDF subset the Python parser supports (revolute / continuous /
+// Scope: the SAME URDF subset as the Python parser (revolute / continuous /
 // prismatic / floating / planar / fixed, plus the spherical / translation /
-// universal extensions; origins, axes + axis2, velocity limits).  Both
-// parsers are cross-tested against each other in tests/test_native.py.
+// universal / helical / spherical_zyx extensions; origins, axes + axis2,
+// helical <pitch value=>, velocity limits), including the mimic policy:
+// <mimic> rejects by default, and mimic_reduce folds serial-adjacent pairs
+// into one MIMIC_PAIR joint exactly like load_urdf(mimic='reduce').
+// Composite joints are make_tree-level sugar with no URDF representation —
+// neither parser loads them.  Both parsers are cross-tested against each
+// other in tests/test_native.py.
 
 #include <cctype>
 #include <cmath>
@@ -173,13 +178,21 @@ void parse_doubles(const std::string& s, double* out, int n) {
 struct JointOut {
   int parent;        // moving-joint parent index, -1 = world
   int jtype;         // 0 rev, 1 prism, 2 free-flyer, 3 spherical,
-                     // 4 unbounded-rev, 5 translation, 6 planar, 7 universal
+                     // 4 unbounded-rev, 5 translation, 6 planar, 7 universal,
+                     // 8 helical, 9 spherical-ZYX, 10 mimic-pair
                      // (codes match loik_tpu/model/tree.py)
   Mat3 R;            // accumulated placement rotation
   Vec3 p;            // accumulated placement translation
   Vec3 axis;
-  Vec3 axis2;        // universal joints' second rotation axis
+  Vec3 axis2;        // universal second axis / mimic-pair inner axis
   double vel_limit;
+  double pitch = 0;  // helical translation per radian
+  // mimic-pair metadata (jtype 10): member type codes + coupling, inner
+  // placement between master and mimic
+  int pair_master_t = -1, pair_mimic_t = -1;
+  double pair_mult = 1, pair_off = 0;
+  Mat3 R2;
+  Vec3 p2;
   std::string name;
 };
 
@@ -189,7 +202,8 @@ struct ParseResult {
   std::string error;
 };
 
-ParseResult parse_urdf(const std::string& xml, int floating_base) {
+ParseResult parse_urdf(const std::string& xml, int floating_base,
+                       int mimic_reduce) {
   ParseResult res;
   XmlParser parser(xml);
   XmlNode root;
@@ -205,6 +219,16 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
     Vec3 axis{0, 0, 1};
     Vec3 axis2{0, 1, 0};
     double vel_limit = 1e30;
+    double pitch = 0;
+    bool has_mimic = false;
+    std::string mimic_joint;
+    double mimic_mult = 1, mimic_off = 0;
+    // filled by the reduction when this joint becomes a MIMIC_PAIR master
+    bool is_pair = false;
+    int pair_master_t = -1, pair_mimic_t = -1;
+    double pair_mult = 1, pair_off = 0;
+    Mat3 R2;
+    Vec3 p2;
   };
   std::vector<std::string> links;
   std::vector<JDef> jdefs;
@@ -257,27 +281,129 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
         } else if (ch.tag == "limit") {
           auto it = ch.attrs.find("velocity");
           if (it != ch.attrs.end()) j.vel_limit = std::strtod(it->second.c_str(), nullptr);
+        } else if (ch.tag == "pitch") {  // helical extension (m per radian)
+          auto it = ch.attrs.find("value");
+          if (it != ch.attrs.end()) j.pitch = std::strtod(it->second.c_str(), nullptr);
         } else if (ch.tag == "mimic") {
-          // q = k * q_master + o couplings cannot be expressed by the
-          // solver's per-joint decision variables; loading one as an
-          // independent dof silently solves the wrong problem.  Reject,
-          // mirroring the Python loader (tested in test_native.py).
+          // q = k * q_master + o coupling: policy applied after all joints
+          // are read (reject by default / fold serial pairs when
+          // mimic_reduce), mirroring load_urdf's mimic= parameter
           auto it = ch.attrs.find("joint");
-          res.error = "joint '" + j.name + "' mimics '" +
-                      (it != ch.attrs.end() ? it->second : "?") +
-                      "': <mimic> couplings are not supported; remove the "
-                      "mimic joint (e.g. fix grippers at a constant opening)";
-          res.joints.clear();
-          return res;
+          j.has_mimic = true;
+          j.mimic_joint = it != ch.attrs.end() ? it->second : "?";
+          it = ch.attrs.find("multiplier");
+          if (it != ch.attrs.end()) j.mimic_mult = std::strtod(it->second.c_str(), nullptr);
+          it = ch.attrs.find("offset");
+          if (it != ch.attrs.end()) j.mimic_off = std::strtod(it->second.c_str(), nullptr);
         }
       }
       jdefs.push_back(std::move(j));
     }
   }
 
-  // root link: never a child
+  // root-link candidates come from the PRE-merge child set: a mimic merge
+  // renames the master's child link, but the original link was still a
+  // child and must not surface as a second root (same pre-merge `child_of`
+  // bookkeeping as the Python loader)
   std::map<std::string, int> is_child;
   for (const auto& j : jdefs) is_child[j.child_link] = 1;
+
+  // ---- mimic policy (mirrors load_urdf's mimic= parameter) ---------------
+  bool any_mimic = false;
+  for (const auto& j : jdefs) any_mimic |= j.has_mimic;
+  if (any_mimic && !mimic_reduce) {
+    for (const auto& j : jdefs)
+      if (j.has_mimic) {
+        res.error = "joint '" + j.name + "' mimics '" + j.mimic_joint +
+                    "': <mimic> couplings are not supported as independent "
+                    "dofs; parse with mimic_reduce to fold serial-adjacent "
+                    "pairs into one coupled joint, or remove the mimic "
+                    "joint from the URDF";
+        return res;
+      }
+  }
+  if (any_mimic) {
+    // subtree-walk: does joint j0's branch carry any moving joint?
+    auto subtree_has_moving = [&](size_t j0) {
+      std::vector<size_t> stack{j0};
+      while (!stack.empty()) {
+        size_t k = stack.back();
+        stack.pop_back();
+        if (jdefs[k].type != "fixed") return true;
+        for (size_t m = 0; m < jdefs.size(); m++)
+          if (jdefs[m].parent_link == jdefs[k].child_link) stack.push_back(m);
+      }
+      return false;
+    };
+    for (size_t i = 0; i < jdefs.size();) {
+      if (!jdefs[i].has_mimic) { i++; continue; }
+      JDef jd = jdefs[i];
+      int master = -1;
+      for (size_t m = 0; m < jdefs.size(); m++)
+        if (jdefs[m].name == jd.mimic_joint) master = static_cast<int>(m);
+      if (master < 0) {
+        res.error = "joint '" + jd.name + "' mimics unknown joint '" +
+                    jd.mimic_joint + "'";
+        return res;
+      }
+      JDef& mj = jdefs[master];
+      if (mj.has_mimic) {
+        res.error = "chained mimic ('" + jd.name + "' mimics mimic-joint '" +
+                    mj.name + "') is not supported";
+        return res;
+      }
+      // purely cosmetic fixed frames on the master's child link are allowed
+      // (dropped by the traversal); dof-carrying branches block (ADVICE r4)
+      std::string blocking;
+      for (size_t m = 0; m < jdefs.size(); m++)
+        if (m != i && jdefs[m].parent_link == mj.child_link &&
+            subtree_has_moving(m)) {
+          blocking = jdefs[m].name;
+          break;
+        }
+      if (jd.parent_link != mj.child_link || !blocking.empty()) {
+        res.error = "mimic joint '" + jd.name +
+                    "' is not serial-adjacent to its master '" + mj.name +
+                    "' (it must be the only DOF-carrying joint on the "
+                    "master's child link, with no intervening fixed frames"
+                    + (blocking.empty() ? "" : "; blocking branch: '" +
+                                               blocking + "'") +
+                    "): cross-branch couplings cannot be expressed by the "
+                    "solver's per-joint variables";
+        return res;
+      }
+      auto is_rp = [](const std::string& t) {
+        return t == "revolute" || t == "prismatic";
+      };
+      if (!is_rp(mj.type) || !is_rp(jd.type)) {
+        res.error = "mimic reduction supports revolute/prismatic pairs; got "
+                    + mj.type + " -> " + jd.type;
+        return res;
+      }
+      // merge: master becomes a 1-dof MIMIC_PAIR whose FK/S carry the
+      // coupling exactly; the mimic joint's origin is the inner placement
+      mj.is_pair = true;
+      mj.pair_master_t = mj.type == "revolute" ? 0 : 1;
+      mj.pair_mimic_t = jd.type == "revolute" ? 0 : 1;
+      mj.pair_mult = jd.mimic_mult;
+      mj.pair_off = jd.mimic_off;
+      mj.R2 = jd.R;
+      mj.p2 = jd.p;
+      mj.axis2 = jd.axis;
+      mj.type = "mimic_pair";
+      mj.child_link = jd.child_link;
+      double k = jd.mimic_mult;
+      if (k != 0) {
+        double folded = jd.vel_limit / std::abs(k);
+        if (folded < mj.vel_limit) mj.vel_limit = folded;
+      }
+      jdefs.erase(jdefs.begin() + i);
+      // restart: indices shifted
+      i = 0;
+    }
+  }
+
+  // root link: never a child
   std::string root_link;
   int nroots = 0;
   for (const auto& l : links)
@@ -349,6 +475,9 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
       else if (j.type == "translation") jtype = 5; // extension
       else if (j.type == "planar") jtype = 6;
       else if (j.type == "universal") jtype = 7;   // extension (axis2)
+      else if (j.type == "helical") jtype = 8;     // extension (<pitch>)
+      else if (j.type == "spherical_zyx") jtype = 9;  // extension
+      else if (j.type == "mimic_pair") jtype = 10; // from mimic_reduce
       else {
         res.error = "unsupported joint type " + j.type;
         res.joints.clear();
@@ -362,6 +491,13 @@ ParseResult parse_urdf(const std::string& xml, int floating_base) {
       out.axis = j.axis;
       out.axis2 = j.axis2;
       out.vel_limit = j.vel_limit;
+      out.pitch = j.pitch;
+      out.pair_master_t = j.pair_master_t;
+      out.pair_mimic_t = j.pair_mimic_t;
+      out.pair_mult = j.pair_mult;
+      out.pair_off = j.pair_off;
+      out.R2 = j.R2;
+      out.p2 = j.p2;
       out.name = j.name;
       int idx = static_cast<int>(res.joints.size());
       res.joints.push_back(out);
@@ -382,10 +518,13 @@ thread_local ParseResult g_result;
 extern "C" {
 
 // Parse URDF text.  Returns number of moving joints, 0 on error (see
-// loik_urdf_error).  Results are stored thread-locally; fetch with
-// loik_urdf_get before the next parse on the same thread.
-int loik_urdf_parse(const char* xml, int floating_base) {
-  g_result = parse_urdf(xml, floating_base);
+// loik_urdf_error).  mimic_reduce selects the <mimic> policy: 0 rejects
+// (default parity with load_urdf), nonzero folds serial-adjacent pairs into
+// MIMIC_PAIR joints like load_urdf(mimic='reduce').  Results are stored
+// thread-locally; fetch with loik_urdf_get before the next parse on the
+// same thread.
+int loik_urdf_parse(const char* xml, int floating_base, int mimic_reduce) {
+  g_result = parse_urdf(xml, floating_base, mimic_reduce);
   return static_cast<int>(g_result.joints.size());
 }
 
@@ -426,5 +565,26 @@ int loik_urdf_get_axis2(double* axis2) {
 
 // Joint names as a '\n'-joined buffer.
 const char* loik_urdf_names() { return g_result.names.c_str(); }
+
+// Extension extras: pitch (N f64, helical screw pitch), mimic_meta (N*4 f64:
+// master type code, mimic type code, multiplier, offset — master code -1
+// marks a non-pair joint), placement2_R (N*9 f64) and placement2_p (N*3,
+// the mimic pair's inner placement; identity elsewhere).  Returns 0.
+int loik_urdf_get_extras(double* pitch, double* mimic_meta,
+                         double* placement2_R, double* placement2_p) {
+  const auto& js = g_result.joints;
+  for (size_t i = 0; i < js.size(); i++) {
+    pitch[i] = js[i].pitch;
+    mimic_meta[4 * i] = js[i].pair_master_t;
+    mimic_meta[4 * i + 1] = js[i].pair_mimic_t;
+    mimic_meta[4 * i + 2] = js[i].pair_mult;
+    mimic_meta[4 * i + 3] = js[i].pair_off;
+    std::memcpy(placement2_R + 9 * i, js[i].R2.m, 9 * sizeof(double));
+    placement2_p[3 * i] = js[i].p2.x;
+    placement2_p[3 * i + 1] = js[i].p2.y;
+    placement2_p[3 * i + 2] = js[i].p2.z;
+  }
+  return 0;
+}
 
 }  // extern "C"

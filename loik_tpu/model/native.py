@@ -3,7 +3,10 @@
 Builds the shared library on first use (g++, no external deps) and caches it
 next to the source.  Falls back to the pure-Python parser transparently if
 the toolchain is unavailable; `load_urdf_native` raises if parsing fails.
-Cross-validated against the Python loader in tests/test_native.py.
+Feature parity with `load_urdf` — same joint-type coverage (including the
+helical / spherical_zyx extensions) and the same mimic policy
+(reject-by-default / mimic='reduce' folding into MIMIC_PAIR joints) — is
+cross-validated against the Python loader in tests/test_native.py.
 """
 
 from __future__ import annotations
@@ -41,10 +44,13 @@ def get_lib():
                 _build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.loik_urdf_parse.restype = ctypes.c_int
-            lib.loik_urdf_parse.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.loik_urdf_parse.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ]
             lib.loik_urdf_error.restype = ctypes.c_char_p
             lib.loik_urdf_names.restype = ctypes.c_char_p
             lib.loik_urdf_get.restype = ctypes.c_int
+            lib.loik_urdf_get_extras.restype = ctypes.c_int
             _lib = lib
     return _lib
 
@@ -58,18 +64,25 @@ def native_available() -> bool:
 
 
 def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
-                     floating_base: bool = False):
-    """Parse a URDF string or file path with the native parser."""
-    from .tree import (FREE_FLYER, PLANAR, PRISMATIC, REVOLUTE,
-                       REVOLUTE_UNBOUNDED, SPHERICAL, TRANSLATION, UNIVERSAL,
-                       KinematicTree)
+                     floating_base: bool = False, mimic: str = "raise"):
+    """Parse a URDF string or file path with the native parser.
 
+    Same surface as `load_urdf`: mimic="raise" (default) rejects <mimic>
+    couplings; mimic="reduce" folds serial-adjacent pairs into MIMIC_PAIR
+    joints (the folding runs natively, cpp/urdf_parser.cpp)."""
+    from .tree import (FREE_FLYER, HELICAL, MIMIC_PAIR, PLANAR, PRISMATIC,
+                       REVOLUTE, REVOLUTE_UNBOUNDED, SPHERICAL,
+                       SPHERICAL_ZYX, TRANSLATION, UNIVERSAL, KinematicTree)
+
+    if mimic not in ("raise", "reduce"):
+        raise ValueError(f"mimic must be 'raise' or 'reduce'; got {mimic!r}")
     if "<robot" not in source:
         with open(source) as f:
             source = f.read()
     lib = get_lib()
     with _lock:
-        n = lib.loik_urdf_parse(source.encode(), int(floating_base))
+        n = lib.loik_urdf_parse(source.encode(), int(floating_base),
+                                int(mimic == "reduce"))
         if n == 0:
             raise ValueError(
                 "native URDF parse failed: " + lib.loik_urdf_error().decode()
@@ -80,23 +93,27 @@ def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
         pp = np.zeros((n, 3), np.float64)
         axis = np.zeros((n, 3), np.float64)
         vel = np.zeros(n, np.float64)
+
+        def _d(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
         lib.loik_urdf_get(
             parents.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             jtypes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            pR.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            pp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            axis.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            vel.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            _d(pR), _d(pp), _d(axis), _d(vel),
         )
         names = tuple(lib.loik_urdf_names().decode().split("\n")[:n])
         axis2 = np.zeros((n, 3), np.float64)
-        lib.loik_urdf_get_axis2(
-            axis2.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
-        )
+        lib.loik_urdf_get_axis2(_d(axis2))
+        pitch = np.zeros(n, np.float64)
+        mimic_meta = np.zeros((n, 4), np.float64)
+        p2R = np.zeros((n, 3, 3), np.float64)
+        p2p = np.zeros((n, 3), np.float64)
+        lib.loik_urdf_get_extras(_d(pitch), _d(mimic_meta), _d(p2R), _d(p2p))
 
     type_map = {0: REVOLUTE, 1: PRISMATIC, 2: FREE_FLYER, 3: SPHERICAL,
                 4: REVOLUTE_UNBOUNDED, 5: TRANSLATION, 6: PLANAR,
-                7: UNIVERSAL}
+                7: UNIVERSAL, 8: HELICAL, 9: SPHERICAL_ZYX, 10: MIMIC_PAIR}
     from .tree import JOINT_NQ, JOINT_NV
 
     jt = tuple(type_map[int(t)] for t in jtypes)
@@ -111,6 +128,7 @@ def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
     for i, t in enumerate(jt):
         v = vel[i] if vel[i] < 1e29 else np.inf
         vel_full[idx_v[i] : idx_v[i] + JOINT_NV[t]] = v
+    has_mimic = any(t == MIMIC_PAIR for t in jt)
     return KinematicTree(
         placement_R=jnp.asarray(pR, dtype),
         placement_p=jnp.asarray(pp, dtype),
@@ -123,5 +141,14 @@ def load_urdf_native(source: str, name: str | None = None, dtype=jnp.float64,
         joint_names=names,
         name=name or "robot",
         axis2=(jnp.asarray(axis2, dtype)
-               if any(t == UNIVERSAL for t in jt) else None),
+               if any(t in (UNIVERSAL, MIMIC_PAIR) for t in jt) else None),
+        pitches=(tuple(float(h) for h in pitch)
+                 if any(t == HELICAL for t in jt) else None),
+        mimic=(tuple(
+            (int(m[0]), int(m[1]), float(m[2]), float(m[3]))
+            if t == MIMIC_PAIR else None
+            for t, m in zip(jt, mimic_meta)
+        ) if has_mimic else None),
+        placement2_R=jnp.asarray(p2R, dtype) if has_mimic else None,
+        placement2_p=jnp.asarray(p2p, dtype) if has_mimic else None,
     )

@@ -2,9 +2,14 @@
 
 Replaces the reference's dependency on `pinocchio::urdf::buildModel`
 (tests/loik-loid.cpp:111).  Supports revolute / continuous / prismatic /
-floating / fixed joints; fixed joints are merged into the downstream joint's
-placement (their frames contribute no dofs), matching how pinocchio composes
-`jointPlacements`.
+floating / planar / fixed joints plus the spherical / translation /
+universal (<axis2>) / helical (<pitch value=>) / spherical_zyx extensions
+and the <mimic> policy (reject by default, mimic='reduce' folding); fixed
+joints are merged into the downstream joint's placement (their frames
+contribute no dofs), matching how pinocchio composes `jointPlacements`.
+The native C++ parser (cpp/urdf_parser.cpp, model/native.py) covers the
+SAME surface — no URDF loads differently depending on which parser ran
+(cross-tested in tests/test_native.py).
 """
 
 from __future__ import annotations
@@ -16,9 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import spatial
-from .tree import (FREE_FLYER, MIMIC_PAIR, PLANAR, PRISMATIC, REVOLUTE,
-                   REVOLUTE_UNBOUNDED, SPHERICAL, TRANSLATION, UNIVERSAL,
-                   KinematicTree, make_tree)
+from .tree import (FREE_FLYER, HELICAL, MIMIC_PAIR, PLANAR, PRISMATIC,
+                   REVOLUTE, REVOLUTE_UNBOUNDED, SPHERICAL, SPHERICAL_ZYX,
+                   TRANSLATION, UNIVERSAL, KinematicTree, make_tree)
 
 _TYPE_MAP = {
     "revolute": REVOLUTE,
@@ -31,6 +36,8 @@ _TYPE_MAP = {
     "spherical": SPHERICAL,      # not standard URDF; accepted as an extension
     "translation": TRANSLATION,  # extension (pinocchio JointModelTranslation)
     "universal": UNIVERSAL,      # extension; second axis via <axis2 xyz=.../>
+    "helical": HELICAL,          # extension; screw pitch via <pitch value=/>
+    "spherical_zyx": SPHERICAL_ZYX,  # extension (Euler Z-Y-X ball joint)
     "mimic_pair": MIMIC_PAIR,    # internal: produced by mimic='reduce'
 }
 
@@ -104,6 +111,9 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
         ax2 = j.find("axis2")  # universal-joint extension
         if ax2 is not None and ax2.get("xyz"):
             jd["axis2"] = np.fromstring(ax2.get("xyz"), sep=" ")
+        pt = j.find("pitch")  # helical extension: translation (m) per radian
+        if pt is not None and pt.get("value"):
+            jd["pitch"] = float(pt.get("value"))
         lim = j.find("limit")
         jd["velocity_limit"] = (
             float(lim.get("velocity")) if lim is not None and lim.get("velocity") else np.inf
@@ -229,6 +239,8 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
             entry["axis"] = jd["axis"]
             if "axis2" in jd:
                 entry["axis2"] = jd["axis2"]
+            if "pitch" in jd:
+                entry["pitch"] = jd["pitch"]
             if "_pair" in jd:
                 entry["mimic"] = jd["_pair"]
                 entry["_R2"], entry["_p2"] = jd["_R2"], jd["_p2"]
@@ -244,6 +256,7 @@ def load_urdf(source: str, name: str | None = None, dtype=jnp.float64,
                 name=e["name"], parent=e["parent"], type=e["type"], axis=e.get("axis", (0, 0, 1)),
                 axis2=e.get("axis2", (0, 1, 0)),
                 velocity_limit=e.get("velocity_limit", np.inf),
+                pitch=e.get("pitch", 0.0),
                 **({"mimic": e["mimic"], "R2": e["_R2"], "xyz2": e["_p2"]}
                    if "mimic" in e else {}),
             )

@@ -44,7 +44,7 @@ def test_native_error_reporting():
     with pytest.raises(ValueError, match="native URDF parse failed"):
         load_urdf_native(
             '<robot name="x"><link name="a"/><link name="b"/>'
-            '<joint name="j" type="helical"><parent link="a"/>'
+            '<joint name="j" type="gearbox"><parent link="a"/>'
             '<child link="b"/></joint></robot>'
         )
     with pytest.raises(ValueError, match="root"):
@@ -138,3 +138,103 @@ def test_mimic_rejected_python():
 def test_mimic_rejected_native():
     with pytest.raises(ValueError, match="mimic"):
         load_urdf_native(MIMIC_GRIPPER)
+
+
+HELICAL_ZYX = (
+    '<robot name="h"><link name="a"/><link name="b"/><link name="c"/>'
+    '<joint name="screw" type="helical">'
+    '<origin xyz="0 0 0.1" rpy="0.1 -0.2 0.3"/><parent link="a"/>'
+    '<child link="b"/><axis xyz="0 1 1"/><pitch value="0.02"/>'
+    '<limit effort="1" velocity="3.0"/></joint>'
+    '<joint name="ball" type="spherical_zyx">'
+    '<origin xyz="0 0 0.2"/><parent link="b"/><child link="c"/></joint>'
+    "</robot>"
+)
+
+
+def test_native_helical_spherical_zyx_parity():
+    """Both parsers accept the helical (<pitch value=>) and spherical_zyx
+    extensions identically — full joint-type parity with the Python loader
+    (VERDICT r4 next #6)."""
+    import jax
+    from loik_tpu.model.tree import HELICAL, SPHERICAL_ZYX
+
+    t_py = load_urdf(HELICAL_ZYX)
+    t_cc = load_urdf_native(HELICAL_ZYX)
+    assert t_py.jtypes == t_cc.jtypes == (HELICAL, SPHERICAL_ZYX)
+    assert t_py.pitches == t_cc.pitches == (0.02, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(t_cc.placement_R), np.asarray(t_py.placement_R), atol=1e-14
+    )
+    np.testing.assert_allclose(np.asarray(t_cc.axis), np.asarray(t_py.axis),
+                               atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(t_cc.velocity_limit), np.asarray(t_py.velocity_limit)
+    )
+    q = t_py.random_configuration(jax.random.PRNGKey(1))
+    _, _, _, op_py = t_py.fwd_kinematics(q)
+    _, _, _, op_cc = t_cc.fwd_kinematics(q)
+    np.testing.assert_allclose(np.asarray(op_cc), np.asarray(op_py),
+                               atol=1e-13)
+
+
+def test_native_mimic_reduce_parity():
+    """Native mimic_reduce folds the serial pair exactly like
+    load_urdf(mimic='reduce'): same MIMIC_PAIR joint, coupling meta, inner
+    placement, folded velocity limit, and FK."""
+    import jax
+    import jax.numpy as jnp
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tests.test_mimic import URDF_COUPLED_FINGER
+    from loik_tpu.model.tree import MIMIC_PAIR
+
+    t_py = load_urdf(URDF_COUPLED_FINGER, mimic="reduce")
+    t_cc = load_urdf_native(URDF_COUPLED_FINGER, mimic="reduce")
+    assert t_cc.jtypes == t_py.jtypes and t_py.jtypes[0] == MIMIC_PAIR
+    assert t_cc.mimic == t_py.mimic
+    assert t_cc.joint_names == t_py.joint_names
+    for fld in ("placement_R", "placement_p", "placement2_R", "placement2_p",
+                "axis", "axis2", "velocity_limit"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(t_cc, fld)), np.asarray(getattr(t_py, fld)),
+            atol=1e-14, err_msg=fld,
+        )
+    q = t_py.random_configuration(jax.random.PRNGKey(2))
+    _, _, _, op_py = t_py.fwd_kinematics(jnp.asarray(q))
+    _, _, _, op_cc = t_cc.fwd_kinematics(jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(op_cc), np.asarray(op_py),
+                               atol=1e-13)
+
+
+def test_native_mimic_reduce_edge_cases():
+    """Leaf fixed siblings allowed; dof-carrying branches block (named);
+    cross-branch mimics still raise — matching the Python loader."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tests.test_mimic import URDF_COUPLED_FINGER
+
+    with_frames = URDF_COUPLED_FINGER.replace(
+        "</robot>",
+        '<link name="pv"/><joint name="pvj" type="fixed">'
+        '<origin xyz="0 0 0.01"/><parent link="prox"/>'
+        '<child link="pv"/></joint></robot>',
+    )
+    t = load_urdf_native(with_frames, mimic="reduce")
+    ref = load_urdf_native(URDF_COUPLED_FINGER, mimic="reduce")
+    assert t.jtypes == ref.jtypes
+
+    blocked = URDF_COUPLED_FINGER.replace(
+        "</robot>",
+        '<link name="m"/><link name="s"/>'
+        '<joint name="mf" type="fixed"><parent link="prox"/>'
+        '<child link="m"/></joint>'
+        '<joint name="sj" type="revolute"><parent link="m"/>'
+        '<child link="s"/><axis xyz="0 0 1"/></joint></robot>',
+    )
+    with pytest.raises(ValueError, match="mf"):
+        load_urdf_native(blocked, mimic="reduce")
+    with pytest.raises(ValueError, match="serial-adjacent"):
+        load_urdf_native(MIMIC_GRIPPER, mimic="reduce")
