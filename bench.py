@@ -381,13 +381,13 @@ def measure_pipelined(thunks, count_converged):
     synced loop mostly measures that latency, not device work.  This is the
     BASELINE protocol's (B x reps) / wall reading; a serving pipeline never
     syncs per batch."""
+    import jax
+
     rs = []
     t0 = time.perf_counter()
     for thunk in thunks:
         rs.append(thunk())
-    last = rs[-1]
-    (last[-1] if isinstance(last, (list, tuple)) else last
-     ).converged.block_until_ready()
+    jax.block_until_ready(rs[-1])
     t_pipe = time.perf_counter() - t0
     return t_pipe, count_converged(rs)
 
