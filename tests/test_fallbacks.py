@@ -122,6 +122,28 @@ def test_stream_require_mode():
                      fused="require")
 
 
+def test_map_count_guard_mechanism(monkeypatch):
+    """The conftest vm.max_map_count guard: reading /proc/self/maps works
+    and jax.clear_caches fires when the count exceeds the safety margin
+    (the serial-pytest SIGSEGV fix — XLA:CPU JIT mappings accumulate to
+    the kernel limit where LLVM's next mmap segfaults)."""
+    import tests.conftest as conftest
+
+    n = conftest._map_count()
+    assert n > 100  # a live python process has hundreds of mappings
+    assert conftest._MAP_SAFETY < conftest._MAP_LIMIT
+    called = []
+    monkeypatch.setattr(jax, "clear_caches", lambda: called.append(1))
+    monkeypatch.setattr(conftest, "_map_count", lambda: conftest._MAP_SAFETY + 1)
+    gen = conftest._bound_jit_code_mappings.__wrapped__()
+    next(gen)
+    try:
+        next(gen)
+    except StopIteration:
+        pass
+    assert called == [1]
+
+
 def test_forced_false_still_solves():
     """fused=False forces the XLA tick and produces a correct solve."""
     tree = robots.ur5()
