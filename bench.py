@@ -135,7 +135,7 @@ def run_standard(args, config_name):
     params = SolverParams(
         max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
         mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
-        tail_solve=args.tail_solve,
+        tail_solve=args.tail_solve, check_interval=args.check_interval,
     )
     fn = make_solve_fn(args)
     run = (lambda q: fn(tree, params, q, problem)) if fn else (
@@ -198,7 +198,7 @@ def run_mixed(args):
     params = SolverParams(
         max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
         mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
-        tail_solve=args.tail_solve,
+        tail_solve=args.tail_solve, check_interval=args.check_interval,
     )
     # the fused stages handle the batched geometry leaves via precomputed
     # per-problem subspaces (PreparedProblem.S_all)
@@ -302,7 +302,7 @@ def run_multistart(args):
     params = SolverParams(
         max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
         mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
-        tail_solve=args.tail_solve,
+        tail_solve=args.tail_solve, check_interval=args.check_interval,
     )
     solve_fn = make_solve_fn(args)
     B = args.batch
@@ -501,7 +501,7 @@ def run_tracking(args):
     params = SolverParams(
         max_iter=args.max_iter, tol_abs=args.tol, tol_rel=args.tol,
         mu=args.mu, mu_equality_scale_factor=args.mu_eq_scale,
-        tail_solve=args.tail_solve,
+        tail_solve=args.tail_solve, check_interval=args.check_interval,
     )
     # per-tick warm-started tracking latency (reference tailored-timing
     # protocol, tests/loik-loid.cpp:1035-1078, batched): every tick updates
@@ -640,6 +640,14 @@ def main():
     ap.add_argument("--min-seeds", type=float, default=1e5,
                     help="multistart: total random seeds floor (BASELINE "
                          "configs[4] says 100k)")
+    ap.add_argument("--check-interval", type=int, default=None,
+                    help="run convergence checks every K-th iteration "
+                         "(OSQP check_termination; 1 = reference parity). "
+                         "Default: 4 for cold-solve configs (measured "
+                         "+25-46%% device rate at equal-or-better certified "
+                         "convergence), 1 for tracking (warm ticks converge "
+                         "in ~3 iterations; rounding to K would cost more "
+                         "than the checks)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -659,6 +667,8 @@ def main():
         args.tol = 1e-4 if args.mode == "tracking" else 1e-6
 
     if args.mode == "tracking":
+        if args.check_interval is None:
+            args.check_interval = 1
         args.batch = args.batch or 16384
         run_tracking(args)
         return
@@ -668,8 +678,14 @@ def main():
     configs = (["flagship", "mixed", "solo12", "talos", "multistart"]
                if args.config == "all" else [args.config])
     user_B = args.batch
+    user_ci = args.check_interval
+    # talos stays at K=1: its fused kernel sits within ~0.5 MB of Mosaic's
+    # 16 MB scoped-VMEM stack at the tile-128 floor, and any K>1 unroll
+    # overflows it (measured; see ROADMAP round-5)
+    default_ci = dict(flagship=4, mixed=4, solo12=4, talos=1, multistart=4)
     for name in configs:
         args.batch = user_B or default_B[name]
+        args.check_interval = default_ci[name] if user_ci is None else user_ci
         if name == "mixed":
             run_mixed(args)
         elif name == "multistart":

@@ -64,12 +64,41 @@ class SolverParams:
                                          # off = freeze at detection, saving
                                          # the ~12-iteration mean tail when
                                          # only feasible solutions are consumed
+    check_interval: int = 1              # run convergence/infeasibility checks
+                                         # (residual norms, the BwdPass2 dual-
+                                         # residual sweep, tolerances, flag and
+                                         # penalty transitions) every K-th ADMM
+                                         # iteration instead of every iteration
+                                         # — OSQP's check_termination knob
+                                         # (OSQP defaults to 25).  K=1 is the
+                                         # reference's per-iteration semantics
+                                         # (loik-loid-optimized.hpp:502-577)
+                                         # and compiles the identical program.
+                                         # K>1: iteration counts round up to
+                                         # multiples of K, mu adapts once per
+                                         # K, the effective iteration budget
+                                         # rounds max_iter down to a multiple
+                                         # of K, and the primal-infeasibility
+                                         # certificate compares a K-step
+                                         # A'Δy against a 1-step Δy (strictly
+                                         # conservative — detection can lag by
+                                         # up to K-1 checks, never false-fire).
+                                         # Converged solutions are unchanged in
+                                         # meaning: they still satisfy the same
+                                         # residual tolerances at the check.
+                                         # With logging, skipped iterations'
+                                         # log slots stay NaN (the same
+                                         # convention as frozen problems).
 
     def __post_init__(self):
         if self.mu_update_strat != MuUpdateStrat.DEFAULT:
             raise NotImplementedError(
                 "mu update strategy not yet implemented (parity with "
                 "loik-loid.hxx:393-398)"
+            )
+        if self.check_interval < 1:
+            raise ValueError(
+                f"check_interval must be >= 1; got {self.check_interval}"
             )
 
     def replace(self, **kw) -> "SolverParams":

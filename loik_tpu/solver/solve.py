@@ -180,7 +180,7 @@ def _h_sweep(tree, prob: PreparedProblem, params: SolverParams,
 
 
 def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverState,
-               debug: bool = False):
+               debug: bool = False, compute_checks: bool = True):
     """Compute one ADMM iteration for every problem in the batch; returns the
     pieces needed for flag/penalty updates.  Pure function of the state.
 
@@ -190,7 +190,13 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     ``checks["debug"]`` for the pass-by-pass lockstep test — the rebuild's
     analog of the reference's component-wise oracle comparison
     (tests/loik-loid.cpp:305-556).  Only used outside jit; the extra dict is
-    dead code under the default False."""
+    dead code under the default False.
+
+    compute_checks=False runs only the iterate updates (FwdPass1, the Riccati
+    sweeps, BoxProj, the dual updates) and returns ``(partial_new, None)``
+    with just {vis, fis, nu, z, w, yis, Aty} — the skipped-iteration form of
+    ``params.check_interval > 1``: no residual norms, no BwdPass2 dual-
+    residual sweep, no tolerances or certificate pieces."""
     N, K = tree.njoints, tree.nv_max
     dtype = st.vis.dtype
     B = st.vis.shape[-1]
@@ -280,14 +286,8 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     fis_new = jnp.stack(fis_new_list)
     nu_new = jnp.stack(nu_new_list)                             # (N,K,B)
 
-    delta_fis = fis_new - st.fis
-    delta_vis_inf = bsp.inf_norm_b(vis_new - st.vis)
-    delta_nu_inf = bsp.inf_norm_b(nu_new - st.nu)
-    nu_inf = bsp.inf_norm_b(nu_new)
-
     # ---------------- BoxProj (loik-loid-optimized.hxx:384-397) -----------
     z_new = jnp.clip(nu_new + st.w / mu_ineq, prob.lb, prob.ub)
-    delta_z_inf = bsp.inf_norm_b(z_new - st.z)
 
     # ---------------- DualUpdate (loik-loid-optimized.hxx:404-461) --------
     Av_minus_b = jnp.stack(
@@ -298,6 +298,16 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     Aty_new = bsp.mtv(prob.A, yis_new)
     delta_w = mu_ineq * (nu_new - z_new)
     w_new = st.w + delta_w
+
+    if not compute_checks:  # skipped iteration of check_interval > 1
+        return dict(vis=vis_new, fis=fis_new, nu=nu_new, z=z_new,
+                    w=w_new, yis=yis_new, Aty=Aty_new), None
+
+    delta_fis = fis_new - st.fis
+    delta_vis_inf = bsp.inf_norm_b(vis_new - st.vis)
+    delta_nu_inf = bsp.inf_norm_b(nu_new - st.nu)
+    nu_inf = bsp.inf_norm_b(nu_new)
+    delta_z_inf = bsp.inf_norm_b(z_new - st.z)
     Av_inf = jnp.max(
         jnp.stack([bsp.inf_norm_b(bsp.mv(prob.A[k], vis_new[c]))
                    for k, c in enumerate(c_links)]),
@@ -475,6 +485,7 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
     contract observed under the 8-virtual-device test env)."""
 
     max_iter = params.max_iter
+    K = params.check_interval
 
     def body(st: SolverState) -> SolverState:
         dtype = st.mu.dtype
@@ -482,9 +493,22 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
         tenth = jnp.asarray(0.1, dtype)
         tol_tail = jnp.asarray(params.tol_tail_solve, dtype)
         eq_scale = jnp.asarray(params.mu_equality_scale_factor, dtype)
-        i = st.it + 1
+        i = st.it + K
         active = st.running                      # (B,)
-        new, checks = _iteration(tree, prob, params, st)
+        # check_interval > 1: K-1 check-free ADMM iterations (trace-time
+        # unrolled — no lax.cond, which Mosaic cannot legalize here), then
+        # one full iteration with residuals/flags.  Frozen problems advance
+        # through the micro-iterations too but are restored wholesale by the
+        # single masked merge below (the mask is constant within the body,
+        # so merging once at the end equals merging every micro-step; the
+        # per-micro-step variant was tried for VMEM live-range relief on
+        # talos and measured WORSE — Mosaic's stack grew 16.75->16.99 MB).
+        cur = st
+        for _ in range(K - 1):
+            partial, _ = _iteration(tree, prob, params, cur,
+                                    compute_checks=False)
+            cur = dataclasses.replace(cur, **partial)
+        new, checks = _iteration(tree, prob, params, cur)
 
         # --- flag transitions -------------------------------------------
         # normal-mode problems: convergence first, then feasibility (iter>1),
@@ -536,8 +560,8 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
         # iteration budget: main loop runs i <= max_iter-1; tail runs i <= max_iter
         # (boolean algebra, not jnp.where with scalar-bool branches — that
         # construct crashes the Mosaic TPU compiler inside the fused kernel)
-        budget_next = (in_tail_next & (i + 1 <= max_iter)) | (
-            ~in_tail_next & (i + 1 <= max_iter - 1)
+        budget_next = (in_tail_next & (i + K <= max_iter)) | (
+            ~in_tail_next & (i + K <= max_iter - 1)
         )
         running_next = active & ~conv_now & ~tail_done & budget_next
         if not params.tail_solve:
@@ -558,7 +582,7 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
             # tail iterations count only the passes AFTER detection
             # (InfeasibilityTailSolve increments inside its while loop)
             tail_iterations=jnp.where(
-                active & st.in_tail, st.tail_iterations + 1, st.tail_iterations
+                active & st.in_tail, st.tail_iterations + K, st.tail_iterations
             ),
             it=i,
         )
