@@ -110,3 +110,30 @@ def test_fuzz_spherical_joints_parity(seed):
     assert bool(res.converged[0]) == orc.converged
     assert int(res.iterations[0]) == orc.iterations
     np.testing.assert_allclose(np.asarray(res.nu[0]), orc.nu, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_check_interval_random_trees(seed):
+    """check_interval=3 on random topologies: the K-unrolled body must reach
+    the same tolerances as K=1 on arbitrary branching/joint mixes, with
+    iteration counts on multiples of K (tests/test_check_interval.py pins
+    the fixture robots; this fuzzes the schedule over the topology space)."""
+    rng = np.random.default_rng(300 + seed)
+    tree = random_tree(rng, int(rng.integers(3, 10)),
+                       floating_base=bool(rng.random() < 0.3))
+    c_links = (tree.leaf_joints[-1],)
+    b = rng.uniform(-0.2, 0.2, size=(1, 6))
+    problem = make_problem(
+        tree, c_links, b=b,
+        lb=-3.0 * np.ones(tree.nv), ub=3.0 * np.ones(tree.nv),
+    )
+    q = tree.random_configuration(jax.random.PRNGKey(seed))
+    r1 = solve(tree, PARAMS, q, problem)
+    rK = solve(tree, PARAMS.replace(check_interval=3), q, problem)
+    assert bool(rK.converged[0]) == bool(r1.converged[0])
+    assert int(rK.iterations[0]) % 3 == 0
+    if bool(r1.converged[0]):
+        # both satisfy the same adaptive tolerances; iterates agree to the
+        # tolerance scale
+        np.testing.assert_allclose(np.asarray(rK.nu[0]), np.asarray(r1.nu[0]),
+                                   atol=5e-5)

@@ -155,6 +155,16 @@ def main():
     jax.block_until_ready((rf.nu, rx.nu))
     checks.append(_compare("panda_arm delta-duals", rf, rx, B, nu_atol=1e-4))
 
+    # ---- panda_arm delta-duals @ check_interval=4 (the benched cold-solve
+    # schedule: K-1 unrolled check-free micro-iterations per body call) ----
+    params_k4 = params_d.replace(check_interval=4)
+    rf = solve_delta_duals(tree, params_k4, q, prob, fused=True,
+                           _interpret=interp)
+    rx = solve_delta_duals(tree, params_k4, q, prob, fused=False)
+    jax.block_until_ready((rf.nu, rx.nu))
+    checks.append(_compare("panda_arm delta-duals K=4", rf, rx, B,
+                           nu_atol=1e-4))
+
     out = {
         "pass": all(c["pass"] for c in checks),
         "backend": backend,
