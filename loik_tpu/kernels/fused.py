@@ -195,6 +195,18 @@ def fused_eligibility(tree, params: SolverParams, B: int, batch_tile: int,
     if B % batch_tile:
         return False, (f"batch {B} is not divisible by the batch tile "
                        f"{batch_tile} (pad the batch or pass batch_tile=)")
+    if params.check_interval > 1 and tree.njoints * batch_tile > 3000:
+        # measured boundary (ROADMAP round-5): talos (33 joints x tile 128 =
+        # 4224) overflows Mosaic's 16 MB scoped-VMEM stack by ~0.5 MB at
+        # K=2 (and more at K=4) because the K-unrolled body extends the
+        # interval-start state's live ranges; panda at 9 x 256 = 2304 fits
+        # at K=4 with room.  Without this gate the failure is an opaque
+        # remote-compile OOM.
+        return False, (f"check_interval={params.check_interval} with "
+                       f"{tree.njoints} joints x batch_tile {batch_tile} "
+                       "exceeds the Mosaic scoped-VMEM stack (measured: 33 "
+                       "joints x tile 128 overflows 16 MB at K>=2); use "
+                       "check_interval=1 for trees this tall or fused=False")
     return True, None
 
 

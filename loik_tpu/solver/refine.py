@@ -232,13 +232,15 @@ def solve_delta_duals(
         q = q[None]
     if batch_tile is None:
         batch_tile = default_batch_tile(tree.njoints)
-    if fused is None:
-        fused = (
-            jax.default_backend() == "tpu"
-            and not params.logging
-            and not params.verbose
-            and q.shape[0] % batch_tile == 0
-        )
+    from ..kernels.fused import resolve_fused
+
+    # dtype=None: the delta path casts to f32 internally, so its stages fuse
+    # regardless of q dtype (ADVICE r4); routing through resolve_fused also
+    # applies the scoped-VMEM eligibility rule for tall trees with
+    # check_interval>1 and gives this path the same loud-fallback /
+    # fused='require' policy as solve/stream
+    fused = resolve_fused(fused, tree, params, q.shape[0], batch_tile,
+                          dtype=None, where="solve_delta_duals")
     tol1 = max(stage1_tol, params.tol_abs)
     p1 = params.replace(
         tol_abs=tol1, tol_rel=max(stage1_tol, params.tol_rel),
@@ -461,6 +463,13 @@ def solve_two_stage(
             and not params.verbose
             and q.shape[0] % batch_tile == 0
             and not tree.has_q_dependent_S  # no universal joints in-kernel
+            # tall tree + check_interval>1 overflows the Mosaic scoped-VMEM
+            # stack (fused_eligibility; measured on talos, ROADMAP round-5).
+            # Inline gate (not resolve_fused): this is the documented path
+            # for universal trees, where a fused fallback warning would be
+            # noise — there is no fused alternative to fall back FROM.
+            and not (params.check_interval > 1
+                     and tree.njoints * batch_tile > 3000)
         )
     # both stages under ONE jit: XLA dead-code-eliminates the stage-1 result
     # assembly and keeps the intermediate state on-device with no host sync

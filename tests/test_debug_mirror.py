@@ -88,3 +88,20 @@ def test_mirror_warm_tick():
                           result=warm)
     np.testing.assert_array_equal(np.asarray(mirror.iterations),
                                   np.asarray(warm.iterations))
+
+
+def test_mirror_check_interval_schedule():
+    """Mirroring a check_interval>1 production solve keeps the SAME K
+    schedule (outcome parity incl. iteration counts on multiples of K);
+    logs carry residuals at check slots and NaN on skipped iterations."""
+    tree, prob, qs = _workload()
+    pK = PARAMS.replace(check_interval=4)
+    res = solve_fused(tree, pK, qs, prob, batch_tile=16, interpret=True)
+    mirror = debug_mirror(tree, pK, qs, prob, result=res)
+    iters = np.asarray(mirror.iterations)
+    assert (iters % 4 == 0).all()
+    log_rp = np.asarray(mirror.log_rp)
+    for j, it in enumerate(iters):
+        ran = log_rp[:it, j]
+        assert np.isfinite(ran[3::4]).all()      # check slots
+        assert np.isnan(ran[0::4]).all()         # skipped slots

@@ -58,6 +58,17 @@ def test_eligibility_reasons(monkeypatch):
     # delta-duals criteria: dtype=None skips the f32 gate (ADVICE r4)
     ok, reason = fused_eligibility(tree, PARAMS, 256, 256, dtype=None)
     assert ok
+    # tall tree + check_interval>1: the Mosaic scoped-VMEM boundary is a
+    # named eligibility reason, not an opaque remote-compile OOM
+    ttree = robots.talos("float32")
+    ok, reason = fused_eligibility(ttree, PARAMS.replace(check_interval=2),
+                                   256, 128, dtype=np.float32)
+    assert not ok and "scoped-VMEM" in reason and "check_interval" in reason
+    ok, reason = fused_eligibility(ttree, PARAMS, 256, 128, dtype=np.float32)
+    assert ok  # K=1 on talos fits
+    ok, reason = fused_eligibility(tree, PARAMS.replace(check_interval=4),
+                                   256, 256, dtype=np.float32)
+    assert ok  # panda at K=4 fits (9 joints x 256 = 2304 < boundary)
 
 
 def test_fallback_warns_once_on_tpu(monkeypatch):
