@@ -180,7 +180,8 @@ def _h_sweep(tree, prob: PreparedProblem, params: SolverParams,
 
 
 def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverState,
-               debug: bool = False, compute_checks: bool = True):
+               debug: bool = False, compute_checks: bool = True,
+               h_cache=None):
     """Compute one ADMM iteration for every problem in the batch; returns the
     pieces needed for flag/penalty updates.  Pure function of the state.
 
@@ -196,11 +197,17 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     sweeps, BoxProj, the dual updates) and returns ``(partial_new, None)``
     with just {vis, fis, nu, z, w, yis, Aty} — the skipped-iteration form of
     ``params.check_interval > 1``: no residual norms, no BwdPass2 dual-
-    residual sweep, no tolerances or certificate pieces."""
+    residual sweep, no tolerances or certificate pieces.
+
+    h_cache: optional precomputed ``(S, _h_sweep(...))`` tuple.  The Riccati
+    matrix half depends only on (mu_eq, mu_ineq, liMi, prob) — all constant
+    across the micro-iterations of one check_interval body call — so the
+    K-unrolled loop body computes it once and shares it (values identical by
+    construction; this is a trace-time hoist, not an approximation)."""
     N, K = tree.njoints, tree.nv_max
     dtype = st.vis.dtype
     B = st.vis.shape[-1]
-    S = _S_lists(tree, prob, B, dtype)
+    S = h_cache[0] if h_cache is not None else _S_lists(tree, prob, B, dtype)
     nvs, parents = tree.nvs, tree.parents
     c_links = prob.constraint_links
     mu_eq = st.mu_eq  # (B,)
@@ -247,7 +254,10 @@ def _iteration(tree, prob: PreparedProblem, params: SolverParams, st: SolverStat
     #  loik-loid-optimized.hxx:21-83).  Matrix recursion in `_h_sweep`; the
     # p/r recursion interleaves with it in the reference — split here, same
     # order/values.
-    H_list, U, Dinv, UDinv = _h_sweep(tree, prob, params, st, S)
+    if h_cache is not None:
+        H_list, U, Dinv, UDinv = h_cache[1]
+    else:
+        H_list, U, Dinv, UDinv = _h_sweep(tree, prob, params, st, S)
     r_tot = [None] * N
     for i in reversed(range(N)):
         k = nvs[i]
@@ -504,11 +514,23 @@ def make_loop_body(tree, prob: PreparedProblem, params: SolverParams):
         # per-micro-step variant was tried for VMEM live-range relief on
         # talos and measured WORSE — Mosaic's stack grew 16.75->16.99 MB).
         cur = st
+        if K > 1:
+            # hoist the Riccati matrix half: (mu_eq, mu_ineq, liMi) are
+            # constant across the K micro-iterations, so S and the H-sweep
+            # (the FMA-heavy congruences) are computed once per body call
+            # and shared — bit-identical values.  Measured perf-neutral on
+            # v5e (7.41 vs 7.18-7.31 ms/16k flagship batch): the compiler
+            # already CSE'd the duplicate sweeps; the hoist makes that
+            # dedup explicit and compiler-independent
+            S_h = _S_lists(tree, prob, st.vis.shape[-1], st.vis.dtype)
+            hc = (S_h, _h_sweep(tree, prob, params, st, S_h))
+        else:
+            hc = None
         for _ in range(K - 1):
             partial, _ = _iteration(tree, prob, params, cur,
-                                    compute_checks=False)
+                                    compute_checks=False, h_cache=hc)
             cur = dataclasses.replace(cur, **partial)
-        new, checks = _iteration(tree, prob, params, cur)
+        new, checks = _iteration(tree, prob, params, cur, h_cache=hc)
 
         # --- flag transitions -------------------------------------------
         # normal-mode problems: convergence first, then feasibility (iter>1),
