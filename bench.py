@@ -682,13 +682,12 @@ def main():
     # talos stays at K=1: its fused kernel sits within ~0.5 MB of Mosaic's
     # 16 MB scoped-VMEM stack at the tile-128 floor, and any K>1 unroll
     # overflows it (measured; see ROADMAP round-5)
-    # per-config knees measured on v5e (ROADMAP round-5): flagship keeps
-    # gaining to K=8 (2.45M device solves/s; K=16 only +7% more at coarser
+    # per-config knees measured on v5e (ROADMAP round-5): flagship and
+    # multistart (same 7-dof problem) keep gaining to K=8 (2.41M solves/s
+    # and 2.6-2.7M seeds/s device; flagship K=16 only +7% more at coarser
     # iteration granularity); solo12/mixed regress past K=4 (they converge
-    # in fewer iterations, so overshoot dominates); multistart's scanned
-    # device program degrades at K=8 (102 ms/batch pathology) while K=4 is
-    # clean
-    default_ci = dict(flagship=8, mixed=4, solo12=4, talos=1, multistart=4)
+    # in fewer iterations, so overshoot dominates; solo12 K=6 also loses)
+    default_ci = dict(flagship=8, mixed=4, solo12=4, talos=1, multistart=8)
     for name in configs:
         args.batch = user_B or default_B[name]
         args.check_interval = default_ci[name] if user_ci is None else user_ci

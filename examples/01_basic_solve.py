@@ -20,6 +20,11 @@ from loik_tpu.model import robots
 
 tree = robots.panda_arm("float32")          # 7-dof Franka Panda arm
 params = SolverParams(max_iter=200, tol_abs=1e-4, tol_rel=1e-4)
+# Throughput knob for cold batched solves: check_interval=K runs the
+# convergence checks every K-th ADMM iteration (OSQP's check_termination;
+# K=8 measured +74% device rate on the 16k panda batch at equal certified
+# convergence — see ROADMAP).  Default 1 = the reference's per-iteration
+# schedule; warm tracking loops should keep 1.
 
 ee = tree.njoints - 1                        # constrain the last joint/link
 solver = DiffIkSolver(tree, params, constraint_links=(ee,))
