@@ -28,5 +28,6 @@ from .solver.refine import (solve_delta_duals, solve_delta_refined,
 from .solver.state import SolveResult, SolverState
 from .solver.diff import solve_unrolled
 from .solver.stream import StreamResult, solve_stream
+from .solver.clik import ClikResult, solve_clik
 
 __version__ = "0.1.0"

@@ -310,6 +310,94 @@ def se3_exp(v):
     return R, p
 
 
+def so3_log(R):
+    """SO(3) logarithm: rotation matrix (..., 3, 3) -> rotation vector
+    (..., 3) with |w| in [0, pi].  Inverse of the rotation half of `se3_exp`.
+
+    Three guarded regimes: Taylor near theta = 0 (the usual per-tick pose
+    errors), the closed form theta/(2 sin theta) * vee(R - R^T) in the bulk,
+    and an axis-from-diagonal branch near theta = pi where vee(R - R^T) ~
+    2 sin(theta) n underflows (sign of the axis recovered from the symmetric
+    part's largest column, overall sign tied to vee so the branch is
+    continuous across its threshold; at exactly pi both signs are valid)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    c = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(c)
+    theta2 = theta * theta
+    vee = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    small = theta2 < jnp.asarray(_small_angle_cutoff(R.dtype), R.dtype)
+    # theta / (2 sin theta): series 1/2 + theta^2/12 + 7 theta^4/720
+    sin_t = jnp.sin(theta)
+    safe_sin = jnp.where(small, jnp.ones_like(sin_t), sin_t)
+    coef = jnp.where(
+        small,
+        0.5 + theta2 / 12.0 + 7.0 * theta2 * theta2 / 720.0,
+        theta / (2.0 * safe_sin),
+    )
+    w_bulk = coef[..., None] * vee
+    # near-pi branch: n_i = sqrt((R_ii - c) / (1 - c)), signs from the
+    # symmetric part S = (R + R^T)/2 relative to the largest |n| component
+    near_pi = c < -0.99
+    one_minus_c = jnp.where(near_pi, 1.0 - c, jnp.ones_like(c))
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    n_abs = jnp.sqrt(
+        jnp.clip((diag - c[..., None]) / one_minus_c[..., None], 0.0, None)
+    )
+    S = 0.5 * (R + jnp.swapaxes(R, -1, -2))
+    k = jnp.argmax(n_abs, axis=-1)  # reference component
+    # sign_i = sign(S[k, i]) for i != k; sign_k = +1; then align with vee
+    Sk = jnp.take_along_axis(S, k[..., None, None].repeat(3, -1), axis=-2)[
+        ..., 0, :
+    ]  # (..., 3) row k of S;  S[k,i] = (1-c) n_k n_i for i != k
+    onehot_k = jnp.arange(3) == k[..., None]
+    # component k is the convention-positive reference (S[k,k] = c +
+    # (1-c) n_k^2 can itself be negative, so it must NOT supply the sign)
+    sgn = jnp.where(onehot_k, 1.0, jnp.where(Sk >= 0.0, 1.0, -1.0))
+    n = sgn * n_abs
+    # overall sign: match vee where it is nonzero (continuity across the
+    # branch threshold); at exactly pi either sign is a valid log
+    flip = jnp.sum(n * vee, axis=-1) < 0.0
+    n = jnp.where(flip[..., None], -n, n)
+    w_pi = theta[..., None] * n
+    return jnp.where(near_pi[..., None], w_pi, w_bulk)
+
+
+def se3_log(R, p):
+    """SE(3) logarithm: placement (R, p) -> twist (..., 6) [linear; angular].
+    Inverse of `se3_exp`: u = V(w)^-1 p with V the left-Jacobian of SO(3),
+    Taylor-guarded near w = 0 with the dtype-aware cutoff."""
+    w = so3_log(R)
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < jnp.asarray(_small_angle_cutoff(R.dtype), R.dtype)
+    safe2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(safe2)
+    half = 0.5 * theta
+    # g = 1/theta^2 - cos(theta/2) / (2 theta sin(theta/2));
+    # series 1/12 + theta^2/720 + theta^4/30240
+    sin_h = jnp.sin(half)
+    safe_sin = jnp.where(small, jnp.ones_like(sin_h), sin_h)
+    g = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        1.0 / safe2 - jnp.cos(half) / (2.0 * theta * safe_sin),
+    )
+    K = skew(w)
+    Vinv = (
+        jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), K.shape)
+        - 0.5 * K
+        + g[..., None, None] * (K @ K)
+    )
+    u = jnp.einsum("...ij,...j->...i", Vinv, p)
+    return jnp.concatenate([u, w], axis=-1)
+
+
 def motion_cross(v1, v2):
     """Motion cross product v1 x v2 (spatial velocity bracket), [lin; ang]."""
     w1, u1 = v1[..., ANG], v1[..., LIN]
