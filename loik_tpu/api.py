@@ -251,6 +251,32 @@ class DiffIkSolver:
         )
         return stream
 
+    def reach(self, q0, target_R, target_p, link: Optional[int] = None,
+              **kw):
+        """Closed-loop position IK to target SE(3) poses (`solve_clik`):
+        the reference's tailored tick (loik-loid-optimized.hpp:596-695)
+        wrapped in the FK -> pose-error -> solve -> integrate loop as one
+        device program.  Uses this solver's problem (weights/bounds) with
+        its constraint at `link` retargeted every tick; keyword args
+        (dt/steps/gain/max_task_velocity/...) pass through to `solve_clik`.
+        Returns a ClikResult; does NOT thread the solver's warm state (the
+        loop manages its own per-tick warm starts and self-healing)."""
+        from .solver.clik import solve_clik
+
+        if link is None:
+            if len(self.constraint_links) != 1:
+                raise ValueError(
+                    "multiple constraints; pass link= explicitly")
+            link = self.constraint_links[0]
+        if self.constraint_links != (link,):
+            raise ValueError(
+                "reach() needs this solver to have exactly one constraint "
+                f"at link {link}; got links {self.constraint_links}"
+            )
+        return solve_clik(self.tree, self.params, q0, target_R, target_p,
+                          link, problem=self.problem, fused=self.fused,
+                          **kw)
+
     # ------------------------------------------------------------------ #
     # getter parity (task-solver-base.hpp:87-141)
     # ------------------------------------------------------------------ #

@@ -196,3 +196,48 @@ def test_clik_rejects_mismatched_problem():
     with pytest.raises(ValueError):
         solve_clik(tree, PARAMS, tree.neutral(), jnp.eye(3),
                    jnp.zeros(3), link=tree.njoints - 1, problem=problem)
+
+
+def test_api_reach():
+    """DiffIkSolver.reach wraps solve_clik with the solver's problem."""
+    from loik_tpu import DiffIkSolver
+
+    tree = robots.panda_arm()
+    q0 = tree.neutral()
+    rng = np.random.default_rng(9)
+    tR, tp = _goal_poses(tree, q0, 0.3 * rng.normal(size=(1, tree.nv)))
+    solver = DiffIkSolver(tree, PARAMS, (tree.njoints - 1,))
+    res = solver.reach(q0, tR[0], tp[0], dt=0.1, steps=80, gain=2.0)
+    assert bool(res.reached[0])
+    direct = solve_clik(tree, PARAMS, q0, tR[0], tp[0],
+                        link=tree.njoints - 1, dt=0.1, steps=80, gain=2.0)
+    np.testing.assert_allclose(np.asarray(res.q), np.asarray(direct.q),
+                               atol=1e-12)
+
+
+def test_clik_sharded_matches_unsharded():
+    """solve_clik under a batch mesh: sharded inputs must reproduce the
+    unsharded run (the whole loop is per-problem; no collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from loik_tpu.parallel.sharding import make_mesh
+
+    tree = robots.panda_arm()
+    B = 16
+    q0 = jnp.broadcast_to(tree.neutral(), (B,) + tree.neutral().shape)
+    rng = np.random.default_rng(2)
+    tR, tp = _goal_poses(tree, tree.neutral(),
+                         0.25 * rng.normal(size=(B, tree.nv)))
+    ref = solve_clik(tree, PARAMS, q0, tR, tp, link=tree.njoints - 1,
+                     dt=0.1, steps=40, gain=2.0)
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P("batch"))
+    q0s = jax.device_put(q0, sh)
+    tRs = jax.device_put(tR, sh)
+    tps = jax.device_put(tp, sh)
+    res = solve_clik(tree, PARAMS, q0s, tRs, tps, link=tree.njoints - 1,
+                     dt=0.1, steps=40, gain=2.0)
+    np.testing.assert_allclose(np.asarray(res.q), np.asarray(ref.q),
+                               atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(res.reached),
+                                  np.asarray(ref.reached))
